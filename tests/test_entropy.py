@@ -1,0 +1,193 @@
+"""Entropy stack tests: rANS round-trips, native-vs-python stream equality,
+CDF quantization invariants, factorized & Gaussian coder round-trips."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tvc.entropy import (
+    FactorizedCoder,
+    FactorizedEntropy,
+    GaussianCoder,
+    PyRansDecoder,
+    PyRansEncoder,
+    RansDecoder,
+    RansEncoder,
+    build_indexes_jax,
+    build_indexes_np,
+    gaussian_likelihood,
+    get_scale_table,
+    pmf_to_quantized_cdf,
+)
+
+RNG = np.random.RandomState(42)
+
+
+def make_gaussian_cdfs(n_scales=4, half=12):
+    """Small synthetic CDF table."""
+    scales = np.linspace(0.5, 5.0, n_scales)
+    pmfs, tails, lengths = [], [], []
+    for s in scales:
+        xs = np.arange(-half, half + 1)
+        from scipy.stats import norm
+
+        pmf = norm.cdf((xs + 0.5) / s) - norm.cdf((xs - 0.5) / s)
+        pmfs.append(pmf)
+        tails.append(max(1.0 - pmf.sum(), 1e-12))
+        lengths.append(len(xs))
+    max_len = max(lengths)
+    cdfs = np.zeros((n_scales, max_len + 2), dtype=np.int32)
+    for i, pmf in enumerate(pmfs):
+        c = pmf_to_quantized_cdf(np.concatenate([pmf, [tails[i]]]))
+        cdfs[i, : len(c)] = c
+    cdf_lengths = np.asarray(lengths, np.int32) + 2
+    offsets = np.full(n_scales, -half, np.int32)
+    return cdfs, cdf_lengths, offsets
+
+
+def test_pmf_to_quantized_cdf_invariants():
+    pmf = np.array([0.1, 0.2, 0.4, 0.2, 0.1])
+    cdf = pmf_to_quantized_cdf(pmf)
+    assert cdf[0] == 0 and cdf[-1] == 1 << 16
+    assert np.all(np.diff(cdf) > 0)
+    # tiny probabilities still get a nonzero bin
+    pmf = np.array([1e-12, 0.999, 1e-12])
+    cdf = pmf_to_quantized_cdf(pmf)
+    assert np.all(np.diff(cdf) > 0)
+
+
+def test_rans_roundtrip_native():
+    cdfs, cdf_lengths, offsets = make_gaussian_cdfs()
+    n = 5000
+    indexes = RNG.randint(0, len(cdf_lengths), n).astype(np.int32)
+    # symbols within range plus out-of-range outliers exercising bypass coding
+    symbols = RNG.randint(-11, 12, n).astype(np.int32)
+    symbols[:20] = np.asarray([-200, 200, 999, -999, 50, -50, 13, -13, 100, -100,
+                               0, 1, -1, 12, -12, 300, -300, 64, -64, 7])
+    enc, dec = RansEncoder(), RansDecoder()
+    data = enc.encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+    out = dec.decode_with_indexes(data, indexes, cdfs, cdf_lengths, offsets)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_rans_native_matches_python_mirror():
+    cdfs, cdf_lengths, offsets = make_gaussian_cdfs()
+    n = 300
+    indexes = RNG.randint(0, len(cdf_lengths), n).astype(np.int32)
+    symbols = RNG.randint(-40, 40, n).astype(np.int32)
+    data_c = RansEncoder().encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+    data_py = PyRansEncoder().encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+    assert data_c == data_py, "native and python streams diverge"
+    out_py = PyRansDecoder().decode_with_indexes(data_c, indexes, cdfs, cdf_lengths, offsets)
+    np.testing.assert_array_equal(out_py, symbols)
+
+
+def test_rans_batch_matches_single():
+    cdfs, cdf_lengths, offsets = make_gaussian_cdfs()
+    enc, dec = RansEncoder(), RansDecoder()
+    counts = [100, 50, 200]
+    symbols = RNG.randint(-11, 12, sum(counts)).astype(np.int32)
+    indexes = RNG.randint(0, len(cdf_lengths), sum(counts)).astype(np.int32)
+    batch = enc.encode_batch(symbols, indexes, counts, cdfs, cdf_lengths, offsets)
+    o = 0
+    for i, c in enumerate(counts):
+        single = enc.encode_with_indexes(
+            symbols[o : o + c], indexes[o : o + c], cdfs, cdf_lengths, offsets
+        )
+        assert batch[i] == single
+        o += c
+    out = dec.decode_batch(batch, indexes, counts, cdfs, cdf_lengths, offsets)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_rans_compression_efficiency():
+    """Coded size must approach the entropy of the source."""
+    cdfs, cdf_lengths, offsets = make_gaussian_cdfs()
+    n = 20000
+    s = 2.0
+    symbols = np.clip(np.round(RNG.randn(n) * s), -11, 11).astype(np.int32)
+    indexes = np.full(n, 2, np.int32)  # scale bin ~2.0 -> matched model
+    data = RansEncoder().encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+    from scipy.stats import norm
+
+    xs = np.arange(-11, 12)
+    pmf = norm.cdf((xs + 0.5) / 2.75) - norm.cdf((xs - 0.5) / 2.75)  # table scale idx2=2.0? close
+    bits = len(data) * 8
+    # entropy of N(0,2) discretized ~ 2.6 bits/symbol; allow coder+model slack
+    assert bits / n < 3.5
+
+
+def test_factorized_roundtrip_and_likelihood():
+    C = 8
+    eb = FactorizedEntropy(channels=C)
+    params = eb.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, C)))["params"]
+    z = jnp.asarray(RNG.randn(2, 6, 6, C).astype(np.float32) * 3.0)
+    z_hat, lk = eb.apply({"params": params}, z)
+    assert z_hat.shape == z.shape and lk.shape == z.shape
+    assert float(jnp.min(lk)) > 0 and float(jnp.max(lk)) <= 1.0
+
+    coder = FactorizedCoder(params)
+    strings = coder.compress(np.asarray(z))
+    assert len(strings) == 2
+    out = coder.decompress(strings, (6, 6))
+    # decompress must reproduce the eval-mode quantization exactly
+    np.testing.assert_allclose(out, np.asarray(z_hat), atol=1e-5)
+
+
+def test_factorized_bpp_estimate_matches_stream_size():
+    """-log2(likelihood) estimate vs real coded bits: within a few percent."""
+    C = 4
+    eb = FactorizedEntropy(channels=C)
+    params = eb.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 4, C)))["params"]
+    z = jnp.asarray(RNG.randn(1, 32, 32, C).astype(np.float32) * 2.0)
+    _, lk = eb.apply({"params": params}, z)
+    est_bits = float(-jnp.sum(jnp.log2(lk)))
+    coder = FactorizedCoder(params)
+    real_bits = len(coder.compress(np.asarray(z))[0]) * 8
+    assert abs(real_bits - est_bits) / est_bits < 0.15, (real_bits, est_bits)
+
+
+def test_gaussian_coder_roundtrip():
+    gc = GaussianCoder()
+    shape = (2, 16, 8)
+    scales = np.exp(RNG.uniform(np.log(0.05), np.log(20.0), shape))
+    means = RNG.randn(*shape).astype(np.float32) * 2
+    y = means + RNG.randn(*shape) * scales
+    idx = gc.build_indexes(scales)
+    strings = gc.compress(y, idx, means)
+    out = gc.decompress(strings, idx, means)
+    np.testing.assert_allclose(out, np.round(y - means) + means, atol=1e-5)
+
+
+def test_gaussian_bpp_estimate_matches_stream_size():
+    gc = GaussianCoder()
+    n = 64 * 64
+    scales = np.exp(RNG.uniform(np.log(0.2), np.log(8.0), (1, n)))
+    means = np.zeros((1, n), np.float32)
+    y = RNG.randn(1, n) * scales
+    idx = gc.build_indexes(scales)
+    strings = gc.compress(y, idx, means)
+    real_bits = len(strings[0]) * 8
+    lk = gaussian_likelihood(jnp.asarray(np.round(y)), jnp.asarray(scales), jnp.asarray(means))
+    est_bits = float(-jnp.sum(jnp.log2(lk)))
+    # table quantization of scales costs a little; stay within 10%
+    assert real_bits < est_bits * 1.10 + 64, (real_bits, est_bits)
+
+
+def test_build_indexes_np_vs_jax():
+    table = get_scale_table()
+    scales = np.exp(RNG.uniform(np.log(0.01), np.log(300.0), (5, 7)))
+    a = build_indexes_np(scales, table)
+    b = np.asarray(build_indexes_jax(jnp.asarray(scales), jnp.asarray(table)))
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= 0 and a.max() <= len(table) - 1
+
+
+def test_gaussian_likelihood_sums_to_one():
+    xs = jnp.arange(-30, 31, dtype=jnp.float32)
+    for s in [0.2, 1.0, 5.0]:
+        lk = gaussian_likelihood(xs, jnp.full_like(xs, s), jnp.zeros_like(xs))
+        total = float(jnp.sum(lk))
+        assert abs(total - 1.0) < 1e-3, (s, total)
