@@ -1,0 +1,122 @@
+"""ELIC codec tests: shapes, checkerboard algebra, bitstream round-trips,
+bpp-estimate vs real coded size consistency. Uses a small-width codec so CPU
+tests stay fast; channel-group logic is identical to the full model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tvc.models.codec import checkerboard as cb
+from tvc.models.codec.coding import ELICCoder, num_coded_bytes
+from tvc.models.codec.elic import ELICModel
+
+RNG = np.random.RandomState(7)
+
+
+def small_model():
+    return ELICModel(N=32, M=48, groups=(4, 4, 8, 8, 24))
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = small_model()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_checkerboard_pack_unpack_roundtrip():
+    y = jnp.asarray(RNG.randn(2, 8, 6, 5).astype(np.float32))
+    pa = cb.pack_anchor(y)
+    pn = cb.pack_nonanchor(y)
+    assert pa.shape == (2, 8, 3, 5)
+    ya = cb.unpack_anchor(pa)
+    yn = cb.unpack_nonanchor(pn)
+    np.testing.assert_allclose(np.asarray(ya + yn), np.asarray(y), atol=0)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(cb.keep_anchor(y)), atol=0)
+    np.testing.assert_allclose(np.asarray(yn), np.asarray(cb.keep_nonanchor(y)), atol=0)
+
+
+def test_checkerboard_positions():
+    h, w = 4, 4
+    y = jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w, 1)
+    pa = np.asarray(cb.pack_anchor(y))[0, :, :, 0]
+    # even rows keep even cols; odd rows keep odd cols (Network.py:392-393)
+    np.testing.assert_array_equal(pa[0], [0, 2])
+    np.testing.assert_array_equal(pa[1], [5, 7])
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32))
+    out = model.apply(variables, x)
+    assert out["x_hat"].shape == x.shape
+    assert out["likelihoods"]["y"].shape == (1, 4, 4, 48)
+    assert out["likelihoods"]["z"].shape == (1, 1, 1, 32)
+    # noisequant training path
+    out2 = model.apply(variables, x, True, jax.random.PRNGKey(1))
+    assert out2["x_hat"].shape == x.shape
+
+
+def test_inference_matches_forward_eval(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32))
+    a = model.apply(variables, x)
+    b = model.apply(variables, x, method=ELICModel.inference)
+    np.testing.assert_allclose(np.asarray(a["x_hat"]), np.asarray(b["x_hat"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(a["likelihoods"]["y"]), np.asarray(b["likelihoods"]["y"]), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_compress_decompress_roundtrip(model_and_vars):
+    """Real bitstream path must reproduce the STE inference reconstruction:
+    decode(encode(x)) uses the same quantized latents."""
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables)
+    x = RNG.rand(1, 64, 64, 3).astype(np.float32)
+    enc = coder.compress(x)
+    assert enc["shape"] == (1, 1)
+    dec = coder.decompress(enc["strings"], enc["shape"])
+    ref = model.apply(variables, jnp.asarray(x), method=ELICModel.inference)
+    ref_x = np.clip(np.asarray(ref["x_hat"]), 0, 1)
+    np.testing.assert_allclose(dec["x_hat"], ref_x, atol=2e-4)
+
+
+def test_compress_bits_match_likelihood_estimate(model_and_vars):
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables)
+    x = RNG.rand(1, 64, 64, 3).astype(np.float32)
+    enc = coder.compress(x)
+    real_bits = num_coded_bytes(enc["strings"]) * 8
+    out = model.apply(variables, jnp.asarray(x), method=ELICModel.inference)
+    est_bits = -float(
+        jnp.sum(jnp.log2(out["likelihoods"]["y"])) + jnp.sum(jnp.log2(out["likelihoods"]["z"]))
+    )
+    # rANS overhead + scale-table quantization: real within ~15% + word slack
+    assert real_bits < est_bits * 1.20 + 32 * 11 * 8, (real_bits, est_bits)
+    assert real_bits > est_bits * 0.5
+
+
+def test_decompress_is_deterministic(model_and_vars):
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables)
+    x = RNG.rand(1, 64, 64, 3).astype(np.float32)
+    enc = coder.compress(x)
+    d1 = coder.decompress(enc["strings"], enc["shape"])
+    d2 = coder.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(d1["x_hat"], d2["x_hat"])
+
+
+def test_batch_compress(model_and_vars):
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables)
+    x = RNG.rand(2, 64, 64, 3).astype(np.float32)
+    enc = coder.compress(x)
+    dec = coder.decompress(enc["strings"], enc["shape"])
+    assert dec["x_hat"].shape == (2, 64, 64, 3)
+    # per-element streams: 5 slices x [anchor, nonanchor] x batch 2
+    assert len(enc["strings"][0]) == 5
+    assert len(enc["strings"][0][0][0]) == 2

@@ -1,0 +1,194 @@
+"""Host-side bitstream driver for the ELIC codec.
+
+Implements the real `compress`/`decompress` of the reference
+(Network.py:336-441, 444-532): hyperprior z through the factorized coder, then
+per-slice two-phase checkerboard coding through the Gaussian coder. All neural
+stages run as cached jitted closures on the device; only quantized symbols and
+(means, scales) tables cross to the host C++ rANS coder, packed to dense
+H x (W/2) tensors exactly like the reference (Network.py:387-397).
+
+Stream-order note: symbols are flattened in (C, H, W/2) channel-major order,
+matching the reference's torch NCHW C-order flatten, so streams are layout-
+compatible with the reference coder given equal parameters.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvc.entropy.factorized import FactorizedCoder
+from tvc.entropy.gaussian import GaussianCoder
+from tvc.models.codec import checkerboard as cb
+from tvc.models.codec.elic import ELICModel
+
+
+def _to_cfirst(x: np.ndarray) -> np.ndarray:
+    """(B,H,W,C) -> (B,C,H,W) for stream-order flattening."""
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def _to_clast(x: np.ndarray) -> np.ndarray:
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+class ELICCoder:
+    """Binds an ELICModel + variables to host entropy coders."""
+
+    def __init__(self, model: ELICModel, variables: dict):
+        self.model = model
+        self.variables = variables
+        self.fb = FactorizedCoder(
+            jax.tree_util.tree_map(np.asarray, variables["params"]["entropy_bottleneck"])
+        )
+        self.gc = GaussianCoder()
+        m = model
+
+        def _apply(method, *args):
+            return m.apply(variables, *args, method=method)
+
+        self._encode_transforms = jax.jit(partial(_apply, ELICModel.encode_transforms))
+        self._hyper = jax.jit(partial(_apply, ELICModel.hyper_params))
+        self._synth = jax.jit(partial(_apply, ELICModel.synthesize))
+
+        # per-slice stage closures (static slice index via Python closure)
+        self._phase1 = []
+        self._phase2 = []
+        for i in range(m.num_slices):
+            def phase1(y_hat_first, y_hat_prev, lm, ls, _i=i):
+                sup = m.apply(variables, _i, y_hat_first, y_hat_prev, lm, ls,
+                              method=ELICModel.slice_support)
+                mu_a, sc_a = m.apply(variables, _i, sup, method=ELICModel.anchor_params)
+                return sup, cb.pack_anchor(mu_a), cb.pack_anchor(sc_a)
+
+            def phase2(packed_anchor_q, sup, _i=i):
+                y_anchor_dec = cb.unpack_anchor(packed_anchor_q)
+                mu_n, sc_n = m.apply(variables, _i, y_anchor_dec, sup,
+                                     method=ELICModel.nonanchor_params)
+                return y_anchor_dec, cb.pack_nonanchor(mu_n), cb.pack_nonanchor(sc_n)
+
+            self._phase1.append(jax.jit(phase1))
+            self._phase2.append(jax.jit(phase2))
+
+        self._pack_anchor = jax.jit(cb.pack_anchor)
+        self._pack_nonanchor = jax.jit(cb.pack_nonanchor)
+        self._unpack_nonanchor = jax.jit(cb.unpack_nonanchor)
+
+    # ---------------- compress ----------------
+
+    def compress(self, x: np.ndarray) -> Dict[str, Any]:
+        """x: (B,H,W,3) in [0,1]. Returns strings + z spatial shape + timings."""
+        t0 = time.time()
+        y, z = self._encode_transforms(jnp.asarray(x, jnp.float32))
+        y.block_until_ready()
+        t_enc = time.time() - t0
+
+        z_np = np.asarray(z)
+        t0 = time.time()
+        z_strings = self.fb.compress(z_np)
+        z_hat = self.fb.decompress(z_strings, z_np.shape[1:3])
+        t_z = time.time() - t0
+
+        t0 = time.time()
+        lm, ls = self._hyper(jnp.asarray(z_hat))
+        t_zdec = time.time() - t0
+
+        splits = np.cumsum(self.model.groups)[:-1]
+        y_slices = jnp.split(y, splits, axis=-1)
+
+        t0 = time.time()
+        y_strings: List[List[List[bytes]]] = []
+        y_hat_first = y_hat_prev = None
+        for i in range(self.model.num_slices):
+            sup, mu_a_p, sc_a_p = self._phase1[i](y_hat_first, y_hat_prev, lm, ls)
+            ya_p = self._pack_anchor(y_slices[i])
+
+            mu_a_np = _to_cfirst(np.asarray(mu_a_p))
+            sc_a_np = _to_cfirst(np.asarray(sc_a_p))
+            idx_a = self.gc.build_indexes(sc_a_np)
+            anchor_strings = self.gc.compress(_to_cfirst(np.asarray(ya_p)), idx_a, mu_a_np)
+            anchor_q = self.gc.decompress(anchor_strings, idx_a, mu_a_np)
+
+            y_anchor_dec, mu_n_p, sc_n_p = self._phase2[i](
+                jnp.asarray(_to_clast(anchor_q)), sup
+            )
+            yn_p = self._pack_nonanchor(y_slices[i])
+            mu_n_np = _to_cfirst(np.asarray(mu_n_p))
+            sc_n_np = _to_cfirst(np.asarray(sc_n_p))
+            idx_n = self.gc.build_indexes(sc_n_np)
+            non_anchor_strings = self.gc.compress(_to_cfirst(np.asarray(yn_p)), idx_n, mu_n_np)
+            non_anchor_q = self.gc.decompress(non_anchor_strings, idx_n, mu_n_np)
+
+            y_hat_slice = y_anchor_dec + self._unpack_nonanchor(
+                jnp.asarray(_to_clast(non_anchor_q))
+            )
+            if i == 0:
+                y_hat_first = y_hat_slice
+            y_hat_prev = y_hat_slice
+            y_strings.append([anchor_strings, non_anchor_strings])
+        t_params = time.time() - t0
+
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_np.shape[1:3]),
+            "time": {"y_enc": t_enc, "z_enc": t_z, "z_dec": t_zdec, "params": t_params},
+        }
+
+    # ---------------- decompress ----------------
+
+    def decompress(self, strings, shape: Tuple[int, int]) -> Dict[str, Any]:
+        """Mirror of compress driven only by the bitstreams (Network.py:444-532)."""
+        y_strings, z_strings = strings
+        z_hat = self.fb.decompress(z_strings, shape)
+        lm, ls = self._hyper(jnp.asarray(z_hat))
+
+        y_hat_slices = []
+        y_hat_first = y_hat_prev = None
+        for i in range(self.model.num_slices):
+            sup, mu_a_p, sc_a_p = self._phase1[i](y_hat_first, y_hat_prev, lm, ls)
+            mu_a_np = _to_cfirst(np.asarray(mu_a_p))
+            sc_a_np = _to_cfirst(np.asarray(sc_a_p))
+            idx_a = self.gc.build_indexes(sc_a_np)
+            anchor_q = self.gc.decompress(y_strings[i][0], idx_a, mu_a_np)
+
+            y_anchor_dec, mu_n_p, sc_n_p = self._phase2[i](
+                jnp.asarray(_to_clast(anchor_q)), sup
+            )
+            mu_n_np = _to_cfirst(np.asarray(mu_n_p))
+            sc_n_np = _to_cfirst(np.asarray(sc_n_p))
+            idx_n = self.gc.build_indexes(sc_n_np)
+            non_anchor_q = self.gc.decompress(y_strings[i][1], idx_n, mu_n_np)
+
+            y_hat_slice = y_anchor_dec + self._unpack_nonanchor(
+                jnp.asarray(_to_clast(non_anchor_q))
+            )
+            if i == 0:
+                y_hat_first = y_hat_slice
+            y_hat_prev = y_hat_slice
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        t0 = time.time()
+        x_hat = self._synth(y_hat)
+        x_hat.block_until_ready()
+        return {"x_hat": np.asarray(x_hat), "time": {"y_dec": time.time() - t0}}
+
+
+def num_coded_bytes(strings) -> int:
+    """Total byte count of a nested string structure (Inference.py:52-67)."""
+    total = 0
+    stack = [strings]
+    while stack:
+        s = stack.pop()
+        if isinstance(s, (bytes, bytearray)):
+            total += len(s)
+        elif isinstance(s, (list, tuple)):
+            stack.extend(s)
+        else:
+            raise TypeError(type(s))
+    return total
