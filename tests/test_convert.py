@@ -1,0 +1,307 @@
+"""Checkpoint-conversion tests.
+
+Two layers of validation (no real reference checkpoints exist in this env):
+1. per-layer convention parity: a torch layer and its flax counterpart with
+   converted weights must produce identical outputs (the error-prone part:
+   conv/deconv/linear/groupnorm weight layouts);
+2. full-model key mapping: a synthetic torch-style state dict with the
+   reference's key names/shapes converts into a tree accepted by
+   model.apply with matching shapes everywhere.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tvc.core.config import Config
+from tvc.models.diffusion.ncsnpp import NCSNppSpec, UNetMoreDDPM, _build_plan
+from tvc.utils.convert import (
+    convert_elic_state_dict,
+    convert_unet_state_dict,
+)
+
+RNG = np.random.RandomState(3)
+
+
+def test_conv2d_layout_parity():
+    tconv = torch.nn.Conv2d(3, 8, 5, stride=2, padding=2)
+    x = RNG.randn(1, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(x)).numpy()
+
+    from tvc.models.codec.layers import Conv
+
+    fconv = Conv(8, 5, 2)
+    kernel = tconv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    params = {"params": {"conv": {"kernel": kernel, "bias": tconv.bias.detach().numpy()}}}
+    got = fconv.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
+def test_deconv_layout_parity():
+    tdeconv = torch.nn.ConvTranspose2d(4, 6, 5, stride=2, output_padding=1, padding=2)
+    x = RNG.randn(1, 4, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = tdeconv(torch.from_numpy(x)).numpy()
+
+    from tvc.models.codec.layers import Deconv
+
+    fdeconv = Deconv(6, 5, 2)
+    kernel = tdeconv.weight.detach().numpy().transpose(2, 3, 1, 0)  # (I,O,k,k)->(k,k,O,I)
+    params = {"params": {"conv": {"kernel": kernel, "bias": tdeconv.bias.detach().numpy()}}}
+    got = fdeconv.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert got.shape == (1, 16, 16, 6)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
+def test_groupnorm_parity():
+    ch = 12
+    tgn = torch.nn.GroupNorm(num_groups=3, num_channels=ch, eps=1e-6)
+    with torch.no_grad():
+        tgn.weight.copy_(torch.rand(ch))
+        tgn.bias.copy_(torch.rand(ch))
+    x = RNG.randn(2, ch, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = tgn(torch.from_numpy(x)).numpy()
+
+    from tvc.models.diffusion.layers import GroupNormRef, num_groups_for
+
+    assert num_groups_for(ch) == 3
+    m = GroupNormRef(ch=ch, eps=1e-6)
+    params = {"params": {"gn": {"scale": tgn.weight.detach().numpy(),
+                                "bias": tgn.bias.detach().numpy()}}}
+    got = m.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
+def test_linear_parity():
+    tl = torch.nn.Linear(10, 6)
+    x = RNG.randn(4, 10).astype(np.float32)
+    with torch.no_grad():
+        want = tl(torch.from_numpy(x)).numpy()
+    import flax.linen as fnn
+
+    d = fnn.Dense(6)
+    params = {"params": {"kernel": tl.weight.detach().numpy().T,
+                         "bias": tl.bias.detach().numpy()}}
+    got = d.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_timestep_embedding_parity():
+    """get_timestep_embedding must match the reference formula layer-for-layer."""
+    import math
+
+    from tvc.models.diffusion.layers import get_timestep_embedding
+
+    t = np.array([0.0, 1.0, 500.0, 999.0], np.float32)
+    dim = 16
+    half = dim // 2
+    emb = math.log(10000) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb)
+    args = t[:, None] * freqs[None, :]
+    want = np.concatenate([np.sin(args), np.cos(args)], axis=1)
+    got = np.asarray(get_timestep_embedding(jnp.asarray(t), dim))
+    np.testing.assert_allclose(got, want, atol=1e-4)  # f32 sin at arg ~999
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.data.image_size = 16
+    cfg.data.num_frames = 2
+    cfg.data.num_frames_cond = 1
+    cfg.model.ngf = 16
+    cfg.model.ch_mult = (1, 2)
+    cfg.model.num_res_blocks = 1
+    cfg.model.attn_resolutions = (8,)
+    cfg.model.n_head_channels = 8
+    return cfg
+
+
+def _synthetic_unet_sd(cfg):
+    """Generate a torch-style all_modules state dict with reference key names."""
+    spec = NCSNppSpec.from_config(cfg)
+    plan = _build_plan(spec)
+    sd = {}
+    nf = spec.ngf
+
+    def conv_keys(key, cin, cout, k):
+        sd[f"{key}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+        sd[f"{key}.bias"] = torch.randn(cout) * 0.01
+
+    in_ch_stack = []
+    for i, p in enumerate(plan):
+        key = f"module.unet.all_modules.{i}"
+        if p["kind"] == "dense":
+            cin = nf if i == 0 else nf * 4
+            sd[f"{key}.weight"] = torch.randn(nf * 4, cin) * 0.05
+            sd[f"{key}.bias"] = torch.zeros(nf * 4)
+        elif p["kind"] == "conv3":
+            cin = spec.channels * spec.n_frames if i <= 2 else plan[i - 1].get("ch", nf)
+            cout = p["out"]
+            if i == len(plan) - 1:
+                cin = plan[i - 1]["ch"]
+            conv_keys(key, cin, cout, 3)
+        elif p["kind"] == "res":
+            cin, cout = p["in"], p["out"]
+            sd[f"{key}.actnorm0.Dense_0.weight"] = torch.randn(2 * cin, nf * 4) * 0.05
+            sd[f"{key}.actnorm0.Dense_0.bias"] = torch.zeros(2 * cin)
+            conv_keys(f"{key}.Conv_0", cin, cout, 3)
+            sd[f"{key}.actnorm1.Dense_0.weight"] = torch.randn(2 * cout, nf * 4) * 0.05
+            sd[f"{key}.actnorm1.Dense_0.bias"] = torch.zeros(2 * cout)
+            conv_keys(f"{key}.Conv_1", cout, cout, 3)
+            if cin != cout or p.get("up") or p.get("down"):
+                conv_keys(f"{key}.Conv_2", cin, cout, 1)
+        elif p["kind"] == "attn":
+            ch = p["ch"]
+            sd[f"{key}.GroupNorm_0.weight"] = torch.rand(ch)
+            sd[f"{key}.GroupNorm_0.bias"] = torch.rand(ch)
+            for n in range(4):
+                sd[f"{key}.NIN_{n}.W"] = torch.randn(ch, ch) * 0.05
+                sd[f"{key}.NIN_{n}.b"] = torch.zeros(ch)
+        elif p["kind"] == "actnorm":
+            ch = p["ch"]
+            sd[f"{key}.Norm_0.weight"] = torch.rand(ch)
+            sd[f"{key}.Norm_0.bias"] = torch.rand(ch)
+    return sd
+
+
+def test_unet_conversion_full_tree():
+    cfg = _tiny_cfg()
+    # annotate plan chs for the synthetic generator
+    spec = NCSNppSpec.from_config(cfg)
+    plan = _build_plan(spec)
+    ch = None
+    for p in plan:
+        if p["kind"] in ("res",):
+            ch = p["out"]
+        if p["kind"] == "conv3":
+            p["ch"] = ch if ch is not None else p["out"]
+        if p["kind"] == "attn":
+            ch = p["ch"]
+    sd = _synthetic_unet_sd(cfg)
+    variables = convert_unet_state_dict(cfg, sd)
+
+    model = UNetMoreDDPM(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 6))
+    cond = jnp.zeros((1, 16, 16, 3))
+    ref = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cond)
+
+    # every converted leaf must match the model's expected shape
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref["params"])
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+    assert len(flat_ref) == len(flat_got), (len(flat_ref), len(flat_got))
+    for path, leaf in flat_ref:
+        got = flat_got[path]
+        assert got.shape == leaf.shape, (path, got.shape, leaf.shape)
+
+    # and the converted tree must run
+    out = model.apply(variables, x, jnp.zeros((1,), jnp.int32), cond)
+    assert out.shape == (1, 16, 16, 6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _synthetic_elic_sd(N=16, M=24, groups=(4, 4, 4, 4, 8)):
+    sd = {}
+
+    def conv(key, cin, cout, k):
+        sd[f"{key}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+        sd[f"{key}.bias"] = torch.randn(cout) * 0.01
+
+    def deconv(key, cin, cout, k):
+        sd[f"{key}.weight"] = torch.randn(cin, cout, k, k) * 0.05
+        sd[f"{key}.bias"] = torch.randn(cout) * 0.01
+
+    def rbb(key, ch):
+        conv(f"{key}.conv1", ch, ch // 2, 1)
+        conv(f"{key}.conv2", ch // 2, ch // 2, 3)
+        conv(f"{key}.conv3", ch // 2, ch, 1)
+
+    def runit(key, ch):
+        conv(f"{key}.conv.0", ch, ch // 2, 1)
+        conv(f"{key}.conv.2", ch // 2, ch // 2, 3)
+        conv(f"{key}.conv.4", ch // 2, ch, 1)
+
+    def attn(key, ch):
+        for k in range(3):
+            runit(f"{key}.conv_a.{k}", ch)
+            runit(f"{key}.conv_b.{k}", ch)
+        conv(f"{key}.conv_b.3", ch, ch, 1)
+
+    ga = [("conv", 3, N, 5), ("rbb", N), ("rbb", N), ("rbb", N), ("conv", N, N, 5),
+          ("rbb", N), ("rbb", N), ("rbb", N), ("attn", N), ("conv", N, N, 5),
+          ("rbb", N), ("rbb", N), ("rbb", N), ("conv", N, M, 5), ("attn", M)]
+    for i, item in enumerate(ga):
+        key = f"g_a.{i}"
+        if item[0] == "conv":
+            conv(key, item[1], item[2], item[3])
+        elif item[0] == "rbb":
+            rbb(key, item[1])
+        else:
+            attn(key, item[1])
+    gs = [("attn", M), ("deconv", M, N, 5), ("rbb", N), ("rbb", N), ("rbb", N),
+          ("deconv", N, N, 5), ("attn", N), ("rbb", N), ("rbb", N), ("rbb", N),
+          ("deconv", N, N, 5), ("rbb", N), ("rbb", N), ("rbb", N), ("deconv", N, 3, 5)]
+    for i, item in enumerate(gs):
+        key = f"g_s.{i}"
+        if item[0] == "deconv":
+            deconv(key, item[1], item[2], item[3])
+        elif item[0] == "rbb":
+            rbb(key, item[1])
+        else:
+            attn(key, item[1])
+
+    conv("h_a.0", M, N, 3)
+    conv("h_a.2", N, N, 5)
+    conv("h_a.4", N, N, 5)
+    deconv("h_s.0", N, N, 5)
+    deconv("h_s.2", N, N * 3 // 2, 5)
+    conv("h_s.4", N * 3 // 2, 2 * M, 3)
+
+    g = (0,) + tuple(groups)
+    for i in range(1, len(groups)):
+        in_ch = g[min(1, i)] + g[i if i > 1 else 0]
+        conv(f"cc_transforms.{i - 1}.0", in_ch, 224, 5)
+        conv(f"cc_transforms.{i - 1}.2", 224, 128, 5)
+        conv(f"cc_transforms.{i - 1}.4", 128, g[i + 1] * 2, 5)
+    for i in range(len(groups)):
+        conv(f"context_prediction.{i}", groups[i], 2 * groups[i], 5)
+        # support = [ch_mean, ch_scale (i>0)] + [latent means, scales] = 2M (+2g)
+        agg_in = 2 * M + (groups[i] * 2 if i > 0 else 0) + groups[i] * 2
+        conv(f"ParamAggregation.{i}.0", agg_in, 640, 1)
+        conv(f"ParamAggregation.{i}.2", 640, 512, 1)
+        conv(f"ParamAggregation.{i}.4", 512, groups[i] * 2, 1)
+
+    filters = (1, 3, 3, 3, 3, 1)
+    for k in range(5):
+        sd[f"entropy_bottleneck._matrices.{k}"] = torch.randn(N, filters[k + 1], filters[k]) * 0.1
+        sd[f"entropy_bottleneck._biases.{k}"] = torch.randn(N, filters[k + 1], 1) * 0.1
+        if k < 4:
+            sd[f"entropy_bottleneck._factors.{k}"] = torch.zeros(N, filters[k + 1], 1)
+    sd["entropy_bottleneck.quantiles"] = torch.tensor([[-10.0, 0.0, 10.0]]).repeat(N, 1)[:, None, :]
+    return sd
+
+
+def test_elic_conversion_key_mapping():
+    from tvc.models.codec.elic import ELICModel
+
+    groups = (4, 4, 4, 4, 8)
+    sd = _synthetic_elic_sd(N=16, M=24, groups=groups)
+    variables = convert_elic_state_dict(sd, groups=groups)
+
+    model = ELICModel(N=16, M=24, groups=groups)
+    x = jnp.zeros((1, 32, 32, 3))
+    ref = model.init(jax.random.PRNGKey(0), x)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref["params"])
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+    assert len(flat_ref) == len(flat_got)
+    for path, leaf in flat_ref:
+        assert path in flat_got, path
+        assert flat_got[path].shape == leaf.shape, (path, flat_got[path].shape, leaf.shape)
+
+    out = model.apply(variables, x)
+    assert out["x_hat"].shape == x.shape

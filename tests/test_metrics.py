@@ -1,0 +1,115 @@
+"""Metric stack tests: PSNR/SSIM known values, Fréchet analytic check,
+LPIPS/FVD plumbing, RD envelope selection."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tvc.metrics import (
+    FVDMetric,
+    LPIPSMetric,
+    frechet_distance,
+    lpips_envelope,
+    per_frame_psnr,
+    preprocess_video,
+    psnr,
+    psnr_envelope,
+    psnr_jax,
+    ssim,
+    ssim_jax,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def test_psnr_known_value():
+    a = np.zeros((8, 8))
+    b = np.full((8, 8), 0.1)
+    assert abs(psnr(a, b) - 20.0) < 1e-9  # mse=0.01 -> 20 dB
+    assert psnr(a, a) == float("inf")
+
+
+def test_psnr_jax_matches_numpy():
+    a = RNG.rand(4, 4, 3).astype(np.float32)
+    b = RNG.rand(4, 4, 3).astype(np.float32)
+    np.testing.assert_allclose(float(psnr_jax(jnp.asarray(a), jnp.asarray(b))), psnr(a, b), rtol=1e-5)
+
+
+def test_ssim_identity_and_range():
+    a = RNG.rand(3, 32, 32)
+    assert abs(ssim(a, a) - 1.0) < 1e-12
+    b = RNG.rand(3, 32, 32)
+    v = ssim(a, b)
+    assert -1.0 <= v < 0.5  # independent noise: low ssim
+
+
+def test_ssim_jax_matches_numpy():
+    a = RNG.rand(1, 32, 32, 3).astype(np.float32)
+    b = (a + RNG.randn(1, 32, 32, 3).astype(np.float32) * 0.05).clip(0, 1)
+    got = float(ssim_jax(jnp.asarray(a), jnp.asarray(b))[0])
+    want = ssim(a[0].transpose(2, 0, 1), b[0].transpose(2, 0, 1))
+    assert abs(got - want) < 1e-4
+
+
+def test_frechet_distance_analytic():
+    # two gaussians with equal covariance: fd ~ |mu1-mu2|^2
+    n, d = 20000, 8
+    f1 = RNG.randn(n, d)
+    f2 = RNG.randn(n, d) + 1.0
+    fd = frechet_distance(f1, f2)
+    assert abs(fd - d) < 0.5, fd
+    assert frechet_distance(f1, f1) < 1e-9
+
+
+def test_per_frame_psnr():
+    v1 = RNG.rand(5, 3, 8, 8)
+    v2 = RNG.rand(5, 3, 8, 8)
+    out = per_frame_psnr(v1, v2)
+    assert len(out) == 5
+    assert abs(out[0] - psnr(v1[0], v2[0])) < 1e-12
+
+
+def test_lpips_plumbing():
+    m = LPIPSMetric.create()
+    assert not m.calibrated  # no weights supplied in the test env
+    a = jnp.asarray(RNG.rand(2, 64, 64, 3).astype(np.float32))
+    d_same = np.asarray(m(a, a))
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    b = jnp.asarray(RNG.rand(2, 64, 64, 3).astype(np.float32))
+    assert np.all(np.asarray(m(a, b)) > 0)
+
+
+def test_fvd_preprocess_shapes():
+    v = jnp.asarray(RNG.rand(4, 128, 128, 3).astype(np.float32))
+    p = preprocess_video(v)
+    assert p.shape == (4, 224, 224, 3)
+    assert float(p.min()) >= -1.0 and float(p.max()) <= 1.0
+
+
+@pytest.mark.slow
+def test_fvd_plumbing():
+    m = FVDMetric(batch_size=2)
+    assert not m.calibrated
+    v1 = RNG.rand(2, 10, 64, 64, 3).astype(np.float32)
+    v2 = RNG.rand(2, 10, 64, 64, 3).astype(np.float32)
+    d = m(v1, v2)
+    assert np.isfinite(d) and d >= 0
+    assert m(v1, v1) < 1e-6
+
+
+def test_rd_envelopes():
+    # synthetic monotone RD curve plus dominated points
+    bpps = [0.1, 0.2, 0.4, 0.8, 0.3, 0.5]
+    psnrs = [28.0, 30.0, 33.0, 36.0, 29.0, 31.0]  # last two dominated
+    env = psnr_envelope(bpps, psnrs)
+    assert env.shape[0] == 2
+    # envelope bpps subset of inputs; psnr increasing with bpp on the edge
+    order = np.argsort(env[0])
+    assert np.all(np.diff(env[1][order]) >= 0)
+
+    lp = [0.30, 0.25, 0.18, 0.10, 0.28, 0.22]
+    env2 = lpips_envelope(bpps, lp)
+    order = np.argsort(env2[0])
+    assert np.all(np.diff(env2[1][order]) <= 0)

@@ -1,0 +1,51 @@
+"""Keyframe coding wrapper: pad -> compress -> decompress -> unpad + bits.
+
+Replicates `inference()` (Inference.py:20-75) and the batching wrapper
+`compress()` (city_sender.py:440-461) — except frames are coded as ONE batch
+through the batch-capable coder instead of a Python loop per frame.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from tvc.models.codec.coding import ELICCoder
+
+
+def pad_to_multiple(x: np.ndarray, patch: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Zero-pad (B,H,W,C) on bottom/right to multiples of patch (Inference.py:24-31)."""
+    h, w = x.shape[1], x.shape[2]
+    new_h = (h + patch - 1) // patch * patch
+    new_w = (w + patch - 1) // patch * patch
+    pad_b, pad_r = new_h - h, new_w - w
+    if pad_b or pad_r:
+        x = np.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    return x, (pad_b, pad_r)
+
+
+def per_frame_bits(strings, batch: int) -> List[int]:
+    """Split the nested stream structure into per-batch-element bit counts."""
+    y_strings, z_strings = strings
+    bits = [0] * batch
+    for b in range(batch):
+        bits[b] += len(z_strings[b]) * 8
+        for slice_streams in y_strings:
+            for phase in slice_streams:  # [anchor, non_anchor]
+                bits[b] += len(phase[b]) * 8
+    return bits
+
+
+def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64) -> Tuple[np.ndarray, List[int]]:
+    """Encode+decode a (T,H,W,3) [0,1] frame stack through the real bitstream.
+
+    Returns (decoded frames (T,H,W,3), per-frame bit counts).
+    """
+    frames = np.asarray(frames, np.float32)
+    t, h, w, _ = frames.shape
+    x, (pad_b, pad_r) = pad_to_multiple(frames, patch)
+    enc = coder.compress(x)
+    dec = coder.decompress(enc["strings"], enc["shape"])
+    x_hat = dec["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
+    return x_hat, per_frame_bits(enc["strings"], t)

@@ -1,0 +1,92 @@
+"""Diffusion frame predictor: the TPU-native `generate_frame` path.
+
+Replaces SenderCity.get_model/generate_frame (city_sender.py:304-351), fixing
+the reference's checkpoint-reload-per-call bug (:337): the UNet parameters are
+bound ONCE, the full sampler trajectory is ONE jitted program (lax.scan), and
+batching across the prediction batch rides the batch axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvc.core.config import Config
+from tvc.models.diffusion.ncsnpp import UNetMoreDDPM
+from tvc.pipeline.transforms import data_transform, inverse_data_transform
+from tvc.samplers import Schedule, get_sampler
+from tvc.samplers.pndm import fpndm_sampler
+
+
+class FramePredictor:
+    """Bundles UNet params + schedule + jitted sampling closure."""
+
+    def __init__(self, cfg: Config, variables: dict, sampler_version: Optional[str] = None,
+                 dtype=jnp.float32, mesh=None, data_sharding=None):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.model = UNetMoreDDPM(cfg=cfg, dtype=dtype)
+        self.variables = variables
+        self.schedule = Schedule.from_config(cfg)
+        self.version = (sampler_version or cfg.model.version).upper()
+        self.sub = self.schedule.subsample(cfg.sampling.subsample)
+
+        def eps_fn(x, labels, cond):
+            return self.model.apply(self.variables, x, labels, cond)
+
+        samp = self.cfg.sampling
+
+        if self.version == "FPNDM":
+            def sample(key, x_init, cond):
+                return fpndm_sampler(
+                    key, x_init, eps_fn, self.schedule, samp.subsample, cond=cond,
+                    clip_before=samp.clip_before,
+                )
+        else:
+            sampler = get_sampler(self.version)
+
+            def sample(key, x_init, cond):
+                return sampler(
+                    key, x_init, eps_fn, self.sub, cond=cond,
+                    denoise=samp.denoise, clip_before=samp.clip_before,
+                    gamma=cfg.model.gamma, t_min=samp.init_prev_t, final_only=True,
+                )
+
+        self._sample = jax.jit(sample)
+
+    @classmethod
+    def create(cls, cfg: Config, rng: Optional[jax.Array] = None, **kw) -> "FramePredictor":
+        """Random-init predictor (for tests/benchmarks without a checkpoint)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        model = UNetMoreDDPM(cfg=cfg, dtype=kw.get("dtype", jnp.float32))
+        size = cfg.data.image_size
+        c = cfg.data.channels
+        x = jnp.zeros((1, size, size, c * cfg.data.num_frames), model.dtype)
+        cond = jnp.zeros(
+            (1, size, size, c * (cfg.data.num_frames_cond + cfg.data.num_frames_future)),
+            model.dtype,
+        )
+        variables = model.init(rng, x, jnp.zeros((1,), jnp.int32), cond)
+        return cls(cfg, variables, **kw)
+
+    def generate(self, key: jax.Array, cond_frames: jax.Array) -> jax.Array:
+        """cond_frames: (B, H, W, C*num_frames_cond) in [0,1].
+        Returns (B, num_frames, H, W, C) predicted frames in [0,1]."""
+        cfg = self.cfg
+        b = cond_frames.shape[0]
+        size = cfg.data.image_size
+        c = cfg.data.channels
+        cond = data_transform(cfg, cond_frames.astype(self.dtype))
+        knoise, ksamp = jax.random.split(key)
+        x_init = jax.random.normal(
+            knoise, (b, size, size, c * cfg.data.num_frames), self.dtype
+        )
+        out = self._sample(ksamp, x_init, cond)[-1]
+        out = inverse_data_transform(cfg, out.astype(jnp.float32))
+        # (B,H,W,C*F) -> (B,F,H,W,C): frames are channel-stacked [f0 c0..2, f1 ...]
+        out = out.reshape(b, size, size, cfg.data.num_frames, c)
+        return jnp.transpose(out, (0, 3, 1, 2, 4))

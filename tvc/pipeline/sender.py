@@ -1,0 +1,197 @@
+"""Sender state machine: predict-5 / accept-prefix / fallback-transmit-2.
+
+Re-designs `SenderCity` + the driver loop (city_sender.py:282-607):
+
+- per-GOP loop: the first 2 frames go through the ELIC keyframe coder; then
+  the diffusion predictor proposes 5 frames from the last 2 decoded frames;
+  frames are accepted in order while their perceptual error clears the
+  threshold rho (LPIPS <= rho, or PSNR >= rho); zero acceptances fall back to
+  transmitting the next 2 ground-truth frames through the image codec;
+- the decision vector d marks transmitted (1) vs generated (0) frames;
+- the rate sweep walks (codec quality x threshold) and stops a threshold walk
+  when bpp >= 1.0 (city_sender.py:561-562).
+
+Differences by design: the predictor's params are bound once (no reload per
+call); keyframes are batch-coded; metric calls are jitted and batched over the
+5 candidate frames instead of per-frame Python loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvc.core.config import Config
+from tvc.metrics.lpips import LPIPSMetric
+from tvc.metrics.pixel import psnr
+from tvc.pipeline.keyframe import code_frames
+from tvc.pipeline.predictor import FramePredictor
+
+
+def stack_frames(frames: np.ndarray) -> np.ndarray:
+    """(B,F,H,W,C) -> (B,H,W,F*C) frame-major channel stacking (the layout the
+    channel-stacked UNet expects, ncsnpp_more.py:257)."""
+    b, f, h, w, c = frames.shape
+    return np.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, f * c)
+
+
+@dataclasses.dataclass
+class Sender:
+    """One (video, quality, threshold) encoding session."""
+
+    threshold: float
+    cfg: Config
+    predictor: FramePredictor
+    lpips: Optional[LPIPSMetric] = None
+    use_psnr: bool = False  # decide_5to5 (PSNR >= rho) vs decide_5to5_lpips
+
+    def decide(self, pred: np.ndarray, gt: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Accept the longest prefix of predicted frames within threshold
+        (city_sender.py:353-406). pred/gt: (B, F, H, W, C) in [0,1]."""
+        b, f = pred.shape[:2]
+        assert b == 1, "per-GOP decision is per-video"
+        accepted: List[np.ndarray] = []
+        for j in range(f):
+            if self.use_psnr:
+                ok = psnr(pred[0, j], gt[0, j]) >= self.threshold
+            else:
+                # reference feeds [0,1] frames to LPIPS un-rescaled (:389)
+                d = float(self.lpips(pred[0, j : j + 1], gt[0, j : j + 1])[0])
+                ok = d <= self.threshold
+            if not ok:
+                break
+            accepted.append(pred[0, j])
+        new_d = np.zeros((1, len(accepted)), dtype=np.int64)
+        new_ge = np.stack(accepted)[None] if accepted else np.zeros((1, 0) + pred.shape[2:])
+        return new_d, new_ge
+
+    def update(self, key: jax.Array, x_gt: np.ndarray, x_ge: np.ndarray,
+               d: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """One predict/decide step (city_sender.py:408-437).
+
+        x_gt: (1,T,H,W,C) ground truth; x_ge: (1,t,H,W,C) decoded so far."""
+        idx = x_ge.shape[1]
+        n_pred = self.cfg.data.num_frames
+        frames_gt = x_gt[:, idx : idx + n_pred]
+        cond = stack_frames(x_ge[:, -self.cfg.data.num_frames_cond :])
+        pred = np.asarray(self.predictor.generate(key, jnp.asarray(cond)))
+        pred = pred[:, : frames_gt.shape[1]]
+        new_d, new_ge = self.decide(pred, frames_gt)
+        d = np.concatenate([d, new_d], axis=1)
+        x_ge = np.concatenate([x_ge, new_ge], axis=1)
+        return d, x_ge
+
+
+@dataclasses.dataclass
+class GOPResult:
+    d: np.ndarray            # (1, T) decision vector: 1=transmitted, 0=generated
+    x_ge: np.ndarray         # (1, T, H, W, C) decoded frames
+    bits: int                # total transmitted bits
+    bpp: float
+    n_updates: int
+    wall_time: float
+
+
+def run_gop(
+    sender: Sender,
+    coder,
+    video_gt: np.ndarray,
+    key: jax.Array,
+    num_frames_total: int = 30,
+    patch: int = 64,
+) -> GOPResult:
+    """Full GOP encode of one video (driver loop city_sender.py:495-562)."""
+    t0 = time.time()
+    h, w = video_gt.shape[1], video_gt.shape[2]
+    nc = sender.cfg.data.num_frames_cond
+
+    dec0, bits0 = code_frames(coder, video_gt[:nc], patch)
+    x_ge = dec0[None]
+    x_gt = video_gt[None]
+    d = np.ones((1, nc), dtype=np.int64)
+    bits_list: List[int] = list(bits0)
+    n_updates = 0
+
+    while x_ge.shape[1] < num_frames_total:
+        key, sub = jax.random.split(key)
+        prev_len = x_ge.shape[1]
+        d, x_ge = sender.update(sub, x_gt, x_ge, d)
+        n_updates += 1
+        if x_ge.shape[1] == prev_len:  # prediction rejected: transmit 2 frames
+            l = prev_len
+            dec, bits = code_frames(coder, video_gt[l : l + nc], patch)
+            bits_list.extend(bits)
+            x_ge = np.concatenate([x_ge, dec[None]], axis=1)
+            d = np.concatenate([d, np.ones((1, dec.shape[0]), dtype=np.int64)], axis=1)
+
+    x_ge = x_ge[:, :num_frames_total]
+    d = d[:, :num_frames_total]
+    bits = int(sum(bits_list))
+    bpp = bits / h / w / num_frames_total
+    return GOPResult(d=d, x_ge=x_ge, bits=bits, bpp=bpp, n_updates=n_updates,
+                     wall_time=time.time() - t0)
+
+
+@dataclasses.dataclass
+class RatePoint:
+    quality: int
+    threshold: float
+    bpp: float
+    psnr_list: List[float]
+    lpips_list: List[float]
+    fvd: float
+    d: List[int]
+
+
+def rate_sweep(
+    cfg: Config,
+    video_gt: np.ndarray,
+    coders: Dict[int, object],
+    predictor: FramePredictor,
+    lpips_metric: LPIPSMetric,
+    fvd_metric: Optional[Callable] = None,
+    qualities: Sequence[int] = (4, 5),
+    thresholds: Optional[Sequence[float]] = None,
+    key: Optional[jax.Array] = None,
+    num_frames_total: int = 30,
+    bpp_stop: float = 1.0,
+) -> List[RatePoint]:
+    """(quality x threshold) sweep over one video (city_sender.py:495-607).
+
+    thresholds default to the reference walk rho = 0.30 .. 0.03 step -0.01;
+    a threshold walk breaks when bpp >= bpp_stop."""
+    if thresholds is None:
+        thresholds = [round(t, 2) for t in np.arange(0.30, 0.02, -0.01)]
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    points: List[RatePoint] = []
+    for q in qualities:
+        coder = coders[q]
+        for rho in thresholds:
+            key, sub = jax.random.split(key)
+            sender = Sender(threshold=rho, cfg=cfg, predictor=predictor, lpips=lpips_metric)
+            gop = run_gop(sender, coder, video_gt, sub, num_frames_total, cfg.codec.patch)
+            if gop.bpp >= bpp_stop:
+                break
+            psnr_list = [psnr(gop.x_ge[0, i], video_gt[i]) for i in range(num_frames_total)]
+            lpips_list = [
+                float(lpips_metric(gop.x_ge[0, i : i + 1], video_gt[i : i + 1])[0])
+                for i in range(num_frames_total)
+            ]
+            if fvd_metric is not None:
+                # videos repeated x2 for a batch >= 2 (city_sender.py:577-579)
+                v1 = np.repeat(gop.x_ge, 2, axis=0)
+                v2 = np.repeat(video_gt[None], 2, axis=0)
+                fvd_val = float(fvd_metric(v1, v2))
+            else:
+                fvd_val = float("nan")
+            points.append(RatePoint(
+                quality=int(q), threshold=float(rho), bpp=gop.bpp,
+                psnr_list=psnr_list, lpips_list=lpips_list, fvd=fvd_val,
+                d=[int(v) for v in gop.d[0]],
+            ))
+    return points

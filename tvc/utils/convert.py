@@ -1,0 +1,210 @@
+"""PyTorch -> Flax checkpoint conversion.
+
+Converts the reference's artifacts (SURVEY.md §2.9) into tvc param trees:
+
+- diffusion checkpoint `checkpoint_<id>.pt`: a list whose [0] is a
+  DataParallel state dict ("module."-prefixed) and [-1] the EMA shadow dict
+  (city_sender.py:306-324); module indices follow `all_modules` ordering,
+  mirrored 1:1 by tvc's `m{i}` naming (tvc/models/diffusion/ncsnpp.py).
+- ELIC codec checkpoints `q.pth.tar` (Network.py:307-334): g_a/g_s/h_a/h_s,
+  cc_transforms, context_prediction, ParamAggregation, entropy_bottleneck
+  learnable params. compressai's registered CDF buffers are NOT converted —
+  tvc rebuilds quantized CDFs from the learned parameters (FactorizedCoder.update).
+
+Conventions:
+  conv weight   (O,I,kh,kw)   -> kernel (kh,kw,I,O)
+  deconv weight (I,O,kh,kw)   -> kernel (kh,kw,O,I)   [flax transpose_kernel]
+  linear weight (O,I)         -> kernel (I,O)
+  groupnorm     weight/bias   -> gn.scale / gn.bias
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from tvc.core.config import Config
+from tvc.models.diffusion.ncsnpp import NCSNppSpec, _build_plan
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv(sd, key) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _deconv(sd, key) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _dense(sd, key) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[f"{key}.weight"]).T, "bias": _np(sd[f"{key}.bias"])}
+
+
+def _gn(sd, key) -> Dict[str, Any]:
+    return {"gn": {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}}
+
+
+def _nin(sd, key) -> Dict[str, np.ndarray]:
+    return {"W": _np(sd[f"{key}.W"]), "b": _np(sd[f"{key}.b"])}
+
+
+# --------------------------------------------------------------------------
+# NCSN++ UNet
+# --------------------------------------------------------------------------
+
+
+def convert_unet_state_dict(cfg: Config, sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map an `all_modules`-style state dict onto {'params': {'unet': ...}}."""
+    # normalize prefixes: DataParallel "module." and wrapper "unet."
+    norm = {}
+    for k, v in sd.items():
+        k2 = k
+        if k2.startswith("module."):
+            k2 = k2[len("module."):]
+        norm[k2] = v
+    sd = norm
+    prefix = "unet.all_modules" if any(k.startswith("unet.all_modules") for k in sd) else "all_modules"
+
+    spec = NCSNppSpec.from_config(cfg)
+    plan = _build_plan(spec)
+    unet: Dict[str, Any] = {}
+
+    for i, p in enumerate(plan):
+        key = f"{prefix}.{i}"
+        kind = p["kind"]
+        if kind == "dense":
+            unet[f"m{i}"] = _dense(sd, key)
+        elif kind == "conv3":
+            unet[f"m{i}"] = {"conv": _conv(sd, key)}
+        elif kind == "attn":
+            unet[f"m{i}"] = {
+                "GroupNorm_0": _gn(sd, f"{key}.GroupNorm_0"),
+                "NIN_0": _nin(sd, f"{key}.NIN_0"),
+                "NIN_1": _nin(sd, f"{key}.NIN_1"),
+                "NIN_2": _nin(sd, f"{key}.NIN_2"),
+                "NIN_3": _nin(sd, f"{key}.NIN_3"),
+            }
+        elif kind == "res":
+            m: Dict[str, Any] = {
+                "actnorm0": {"Dense_0": _dense(sd, f"{key}.actnorm0.Dense_0")},
+                "Conv_0": {"conv": _conv(sd, f"{key}.Conv_0")},
+                "actnorm1": {"Dense_0": _dense(sd, f"{key}.actnorm1.Dense_0")},
+                "Conv_1": {"conv": _conv(sd, f"{key}.Conv_1")},
+            }
+            if f"{key}.Conv_2.weight" in sd:
+                m["Conv_2"] = {"conv": _conv(sd, f"{key}.Conv_2")}
+            unet[f"m{i}"] = m
+        elif kind == "actnorm":
+            unet[f"m{i}"] = {"Norm_0": _gn(sd, f"{key}.Norm_0")}
+        else:  # pragma: no cover
+            raise ValueError(kind)
+
+    return {"params": {"unet": unet}}
+
+
+def load_diffusion_checkpoint(path: str, cfg: Config, use_ema: bool = True) -> Dict[str, Any]:
+    """torch.load a reference checkpoint list; [0]=weights, [-1]=EMA shadow
+    (city_sender.py:306-324)."""
+    import torch
+
+    states = torch.load(path, map_location="cpu")
+    sd = states[-1] if (use_ema and cfg.model.ema) else states[0]
+    return convert_unet_state_dict(cfg, sd)
+
+
+# --------------------------------------------------------------------------
+# ELIC codec
+# --------------------------------------------------------------------------
+
+_RBB_CONVS = ("conv1", "conv2", "conv3")
+
+
+def _residual_unit(sd, key) -> Dict[str, Any]:
+    # torch ResidualUnit: .conv Sequential indices 0, 2, 4
+    return {str(j): {"conv": _conv(sd, f"{key}.conv.{j}")} for j in (0, 2, 4)}
+
+
+def _attention_block(sd, key) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k in range(3):
+        out[f"conv_a_{k}"] = _residual_unit(sd, f"{key}.conv_a.{k}")
+        out[f"conv_b_{k}"] = _residual_unit(sd, f"{key}.conv_b.{k}")
+    out["conv_b_3"] = {"conv": _conv(sd, f"{key}.conv_b.3")}
+    return out
+
+
+def _rbb(sd, key) -> Dict[str, Any]:
+    return {c: {"conv": _conv(sd, f"{key}.{c}")} for c in _RBB_CONVS}
+
+
+def convert_elic_state_dict(sd: Dict[str, Any], groups=(16, 16, 32, 64, 192)) -> Dict[str, Any]:
+    """Map a TestModel state dict onto tvc's ELICModel param tree."""
+    sd = {k: v for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+
+    # g_a / g_s layouts (Network.py:88-122): indices of each layer kind
+    ga_kinds = ["conv", "rbb", "rbb", "rbb", "conv", "rbb", "rbb", "rbb", "attn",
+                "conv", "rbb", "rbb", "rbb", "conv", "attn"]
+    gs_kinds = ["attn", "deconv", "rbb", "rbb", "rbb", "deconv", "attn", "rbb",
+                "rbb", "rbb", "deconv", "rbb", "rbb", "rbb", "deconv"]
+    for name, kinds in (("g_a", ga_kinds), ("g_s", gs_kinds)):
+        for i, kind in enumerate(kinds):
+            key = f"{name}.{i}"
+            if kind == "conv":
+                params[f"{name}_{i}"] = {"conv": _conv(sd, key)}
+            elif kind == "deconv":
+                params[f"{name}_{i}"] = {"conv": _deconv(sd, key)}
+            elif kind == "rbb":
+                params[f"{name}_{i}"] = _rbb(sd, key)
+            else:
+                params[f"{name}_{i}"] = _attention_block(sd, key)
+
+    for i in (0, 2, 4):
+        params[f"h_a_{i}"] = {"conv": _conv(sd, f"h_a.{i}")}
+    params["h_s_0"] = {"conv": _deconv(sd, "h_s.0")}
+    params["h_s_2"] = {"conv": _deconv(sd, "h_s.2")}
+    params["h_s_4"] = {"conv": _conv(sd, "h_s.4")}
+
+    for i in range(len(groups) - 1):
+        for j in (0, 2, 4):
+            params[f"cc_{i}_{j}"] = {"conv": _conv(sd, f"cc_transforms.{i}.{j}")}
+    for i in range(len(groups)):
+        params[f"ctx_{i}"] = {
+            "weight": _np(sd[f"context_prediction.{i}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"context_prediction.{i}.bias"]),
+        }
+        for j in (0, 2, 4):
+            params[f"agg_{i}_{j}"] = {"conv": _conv(sd, f"ParamAggregation.{i}.{j}")}
+
+    eb: Dict[str, Any] = {"quantiles": _np(sd["entropy_bottleneck.quantiles"])}
+    k = 0
+    while f"entropy_bottleneck._matrices.{k}" in sd:
+        eb[f"matrix_{k}"] = _np(sd[f"entropy_bottleneck._matrices.{k}"])
+        eb[f"bias_{k}"] = _np(sd[f"entropy_bottleneck._biases.{k}"])
+        if f"entropy_bottleneck._factors.{k}" in sd:
+            eb[f"factor_{k}"] = _np(sd[f"entropy_bottleneck._factors.{k}"])
+        k += 1
+    params["entropy_bottleneck"] = eb
+
+    return {"params": params}
+
+
+def load_codec_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_elic_state_dict(sd)
