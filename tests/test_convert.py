@@ -294,7 +294,7 @@ def test_elic_conversion_key_mapping():
     variables = convert_elic_state_dict(sd, groups=groups)
 
     model = ELICModel(N=16, M=24, groups=groups)
-    x = jnp.zeros((1, 32, 32, 3))
+    x = jnp.zeros((1, 64, 64, 3))  # H,W must be multiples of 64 (patch padding)
     ref = model.init(jax.random.PRNGKey(0), x)
     flat_ref = jax.tree_util.tree_leaves_with_path(ref["params"])
     flat_got = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
