@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""tvc benchmark driver: prints ONE JSON line for the scoring harness.
+
+Metric: frames/s/chip for the worst-case 30-frame GOP encode+decode at
+128x128 (5 diffusion cycles of the 262M UNet at 100 DDPM steps + 3 keyframe
+pairs through the real ELIC bitstream). Baseline: the reference's published
+~0.125 frames/s worst case on a V100-class GPU (BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="10 sampling steps, extrapolated to the 100-step budget")
+    ap.add_argument("--steps", type=int, default=None, help="override sampling steps")
+    ap.add_argument("--no-codec", action="store_true")
+    ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    # persistent XLA compile cache: first run pays ~minutes for the 100-step
+    # 262M-UNet scan; subsequent runs (e.g. the scoring driver) hit the cache
+    cache_dir = os.environ.get("TVC_JAX_CACHE", "/root/.cache/jax_tvc")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tvc.bench.throughput import bench_pipeline
+
+    subsample = args.steps if args.steps is not None else (10 if args.quick else 100)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    t0 = time.time()
+    res = bench_pipeline(
+        subsample=subsample,
+        dtype=dtype,
+        include_codec=not args.no_codec,
+        batch=args.batch,
+    )
+    wall = time.time() - t0
+
+    baseline_fps = 0.125
+    info = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "sample_steps_measured": res.n_sample_steps,
+        "t_unet_step_s": round(res.t_unet_step, 4),
+        "t_cycle100_s": round(res.t_cycle, 3),
+        "t_keyframe_pair_s": round(res.t_keyframe_pair, 3),
+        "compile_s": round(res.compile_time, 1),
+        "bench_wall_s": round(wall, 1),
+    }
+    print(json.dumps(info), file=sys.stderr)
+    print(json.dumps({
+        "metric": "frames/s/chip (worst-case 30-frame GOP encode+decode, 128x128)",
+        "value": round(res.fps_gop, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(res.fps_gop / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""End-to-end pipeline tests with tiny models: the sender GOP loop, fallback
+behavior, rate sweep, and driver persistence — CPU-sized."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tvc.core.config import Config
+from tvc.metrics.lpips import LPIPSMetric
+from tvc.models.codec.coding import ELICCoder
+from tvc.models.codec.elic import ELICModel
+from tvc.pipeline.keyframe import code_frames, pad_to_multiple, per_frame_bits
+from tvc.pipeline.predictor import FramePredictor
+from tvc.pipeline.sender import Sender, run_gop, stack_frames
+from tvc.pipeline.transforms import data_transform, inverse_data_transform
+
+RNG = np.random.RandomState(11)
+
+
+def tiny_cfg():
+    cfg = Config()
+    cfg.data.image_size = 64
+    cfg.data.num_frames = 3
+    cfg.data.num_frames_cond = 2
+    cfg.model.ngf = 16
+    cfg.model.ch_mult = (1, 2)
+    cfg.model.num_res_blocks = 1
+    cfg.model.attn_resolutions = (32,)
+    cfg.model.n_head_channels = 8
+    cfg.model.num_classes = 20
+    cfg.sampling.subsample = 5
+    cfg.codec.patch = 64
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    predictor = FramePredictor.create(cfg)
+    codec = ELICModel(N=16, M=24, groups=(4, 4, 4, 4, 8))
+    variables = codec.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    coder = ELICCoder(codec, variables)
+    lp = LPIPSMetric.create()
+    return cfg, predictor, coder, lp
+
+
+def test_transforms_roundtrip():
+    cfg = tiny_cfg()
+    x = jnp.asarray(RNG.rand(2, 4, 4, 3).astype(np.float32))
+    y = data_transform(cfg, x)
+    assert float(y.min()) >= -1 and float(y.max()) <= 1
+    back = inverse_data_transform(cfg, y)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_pad_to_multiple():
+    x = np.zeros((1, 30, 50, 3))
+    p, (pb, pr) = pad_to_multiple(x, 32)
+    assert p.shape == (1, 32, 64, 3) and (pb, pr) == (2, 14)
+
+
+def test_stack_frames_layout():
+    f = RNG.rand(1, 2, 4, 4, 3).astype(np.float32)
+    s = stack_frames(f)
+    assert s.shape == (1, 4, 4, 6)
+    # frame-major: channels [f0 rgb, f1 rgb]
+    np.testing.assert_allclose(s[0, :, :, :3], f[0, 0])
+    np.testing.assert_allclose(s[0, :, :, 3:], f[0, 1])
+
+
+def test_predictor_generates_frames(setup):
+    cfg, predictor, _, _ = setup
+    cond = jnp.asarray(RNG.rand(1, 64, 64, 6).astype(np.float32))
+    out = predictor.generate(jax.random.PRNGKey(0), cond)
+    assert out.shape == (1, 3, 64, 64, 3)
+    o = np.asarray(out)
+    assert o.min() >= 0 and o.max() <= 1
+
+
+def test_code_frames_bits(setup):
+    cfg, _, coder, _ = setup
+    frames = RNG.rand(2, 64, 64, 3).astype(np.float32)
+    dec, bits = code_frames(coder, frames, 64)
+    assert dec.shape == frames.shape
+    assert len(bits) == 2 and all(b > 0 for b in bits)
+
+
+def test_gop_accepts_with_loose_threshold(setup):
+    """threshold=inf accepts every predicted frame: 2 keyframes + generated."""
+    cfg, predictor, coder, lp = setup
+    video = RNG.rand(12, 64, 64, 3).astype(np.float32)
+    sender = Sender(threshold=1e9, cfg=cfg, predictor=predictor, lpips=lp)
+    gop = run_gop(sender, coder, video, jax.random.PRNGKey(0), num_frames_total=8, patch=64)
+    assert gop.x_ge.shape == (1, 8, 64, 64, 3)
+    d = gop.d[0]
+    assert d[0] == 1 and d[1] == 1 and np.all(d[2:] == 0)
+    assert gop.bits > 0
+
+
+def test_gop_fallback_with_strict_threshold(setup):
+    """threshold=-1 (LPIPS <= -1 impossible) forces all-transmit fallback."""
+    cfg, predictor, coder, lp = setup
+    video = RNG.rand(12, 64, 64, 3).astype(np.float32)
+    sender = Sender(threshold=-1.0, cfg=cfg, predictor=predictor, lpips=lp)
+    gop = run_gop(sender, coder, video, jax.random.PRNGKey(0), num_frames_total=8, patch=64)
+    assert np.all(gop.d[0] == 1)  # everything transmitted
+    assert gop.x_ge.shape[1] == 8
+
+
+def test_psnr_decision_mode(setup):
+    cfg, predictor, coder, lp = setup
+    video = RNG.rand(8, 64, 64, 3).astype(np.float32)
+    # PSNR >= -inf always true -> all frames accepted
+    sender = Sender(threshold=-1e9, cfg=cfg, predictor=predictor, lpips=lp, use_psnr=True)
+    gop = run_gop(sender, coder, video, jax.random.PRNGKey(1), num_frames_total=8, patch=64)
+    assert np.all(gop.d[0, 2:] == 0)
+
+
+@pytest.mark.slow
+def test_driver_run_sweep(tmp_path, setup):
+    from tvc.pipeline.driver import run_sweep
+
+    cfg, predictor, coder, lp = setup
+    data = RNG.rand(1, 10, 3, 64, 64).astype(np.float32) * 255
+    np.save(tmp_path / "data.npy", data)
+    from tvc.pipeline.driver import load_dataset
+
+    d = load_dataset(str(tmp_path / "data.npy"))
+    assert d.shape == (1, 10, 64, 64, 3)
+    res = run_sweep(
+        cfg, d, {4: coder, 5: coder}, predictor, str(tmp_path / "out"),
+        start_idx=0, end_idx=0, qualities=[4], thresholds=[1e9, 0.5, 0.1],
+        with_fvd=False, lpips_metric=lp,
+    )
+    pts = res[0]
+    assert len(pts) >= 1
+    out_root = tmp_path / "out" / "output_0"
+    assert (out_root / "points.json").exists()
+    assert (out_root / "psnr_0.npy").exists()

@@ -1,0 +1,96 @@
+"""Throughput harness: frames/s/chip for the end-to-end pipeline.
+
+Measures the two cost centers of the sender (SURVEY.md §3):
+1. one diffusion prediction cycle — a full subsampled-DDPM sampling sweep of
+   the 262M-parameter UNet producing 5 frames (>99% of FLOPs);
+2. one keyframe pair through the real ELIC bitstream path (encode+decode,
+   including host rANS).
+
+The reference's worst case is ~240 s per 30-frame video (~0.125 frames/s):
+<=5 generation cycles x 100 DDPM steps plus keyframe codings (BASELINE.md).
+The same GOP model here: t_gop = 5 * t_cycle + 3 * t_keyframe_pair
+(initial pair + up to two fallback pairs), fps = 30 / t_gop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvc.core.config import Config
+
+
+@dataclasses.dataclass
+class BenchResult:
+    t_unet_step: float
+    t_cycle: float
+    t_keyframe_pair: float
+    fps_gop: float
+    n_sample_steps: int
+    compile_time: float
+
+
+def bench_pipeline(
+    subsample: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    include_codec: bool = True,
+    batch: int = 1,
+    seed: int = 0,
+) -> BenchResult:
+    from tvc.pipeline.predictor import FramePredictor
+
+    cfg = Config()
+    if subsample is not None:
+        cfg.sampling.subsample = subsample
+    n_steps = cfg.sampling.subsample
+
+    predictor = FramePredictor.create(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    size = cfg.data.image_size
+    c = cfg.data.channels
+    cond = jnp.zeros((batch, size, size, c * cfg.data.num_frames_cond), dtype)
+
+    # compile + warmup
+    t0 = time.time()
+    predictor.generate(jax.random.PRNGKey(1), cond).block_until_ready()
+    compile_time = time.time() - t0
+
+    reps = 3
+    t0 = time.time()
+    for i in range(reps):
+        predictor.generate(jax.random.PRNGKey(2 + i), cond).block_until_ready()
+    t_cycle = (time.time() - t0) / reps
+    t_step = t_cycle / (n_steps + 1)  # +1: final denoise step
+
+    t_pair = 0.0
+    if include_codec:
+        from tvc.models.codec.coding import ELICCoder
+        from tvc.models.codec.elic import ELICModel
+        from tvc.pipeline.keyframe import code_frames
+
+        model = ELICModel()
+        variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 128, 3)))
+        coder = ELICCoder(model, variables)
+        frames = np.random.RandomState(0).rand(2, 128, 128, 3).astype(np.float32)
+        code_frames(coder, frames)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            code_frames(coder, frames)
+        t_pair = (time.time() - t0) / 3
+
+    # scale a measured cycle to the reference's 100-step budget if subsampled
+    t_cycle_100 = t_cycle * (101 / (n_steps + 1))
+    t_gop = 5 * t_cycle_100 + 3 * t_pair
+    fps = 30.0 * batch / t_gop
+    return BenchResult(
+        t_unet_step=t_step,
+        t_cycle=t_cycle_100,
+        t_keyframe_pair=t_pair,
+        fps_gop=fps,
+        n_sample_steps=n_steps,
+        compile_time=compile_time,
+    )

@@ -1,0 +1,201 @@
+"""tvc command-line interface.
+
+Replaces the reference's argparse+YAML entry point (city_sender.py:47-223)
+with subcommands:
+
+  python -m tvc.cli sweep   — rate sweep over a dataset npy (the city_sender
+                              main flow)
+  python -m tvc.cli codec   — encode/decode frames through the ELIC bitstream
+  python -m tvc.cli anchors — ffmpeg H.264/H.265 anchor sweep
+  python -m tvc.cli bench   — throughput benchmark (same as ./bench.py)
+
+Config: --config YAML + --config-mod "section.key=value" dotted overrides
+(safe literal parsing, tvc/core/config.py). Checkpoints: torch artifacts are
+converted on load (tvc/utils/convert.py); omit them to run random-weight
+smoke mode (clearly flagged).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List, Optional
+
+
+def _add_config_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--config", type=str, default=None, help="YAML config path")
+    ap.add_argument("--config-mod", nargs="*", default=[],
+                    help="dotted overrides: section.key=value")
+    ap.add_argument("--seed", type=int, default=1234)
+
+
+def _load_cfg(args):
+    from tvc.core.config import load_config
+
+    cfg = load_config(args.config, args.config_mod)
+    cfg.seed = args.seed
+    return cfg
+
+
+def cmd_sweep(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="tvc sweep")
+    _add_config_args(ap)
+    ap.add_argument("--data-npy", required=True, help="(B,T,C,H,W) dataset npy")
+    ap.add_argument("--output-path", required=True)
+    ap.add_argument("--start-idx", type=int, default=0)
+    ap.add_argument("--end-idx", type=int, default=0)
+    ap.add_argument("--ckpt", type=str, default=None, help="diffusion checkpoint .pt")
+    ap.add_argument("--codec-ckpts", nargs="*", default=None,
+                    help="ELIC checkpoints q0..q5 (.pth.tar)")
+    ap.add_argument("--qualities", nargs="*", type=int, default=[4, 5])
+    ap.add_argument("--no-fvd", action="store_true")
+    ap.add_argument("--i3d-ckpt", type=str, default=None)
+    ap.add_argument("--lpips-alex", type=str, default=None, help="torchvision alexnet .pth")
+    ap.add_argument("--lpips-lin", type=str, default=None, help="lpips linear heads .pth")
+    ap.add_argument("--bench-264", type=str, default=None)
+    ap.add_argument("--bench-265", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _load_cfg(args)
+
+    from tvc.metrics.fvd import FVDMetric
+    from tvc.metrics.lpips import LPIPSMetric
+    from tvc.models.codec.coding import ELICCoder
+    from tvc.models.codec.elic import make_elic
+    from tvc.pipeline.driver import load_dataset, run_sweep
+    from tvc.pipeline.predictor import FramePredictor
+    from tvc.utils.convert import load_codec_checkpoint, load_diffusion_checkpoint
+
+    data = load_dataset(args.data_npy)
+
+    # codec coders per quality
+    model = make_elic(cfg.codec)
+    coders: Dict[int, ELICCoder] = {}
+    for q in args.qualities:
+        if args.codec_ckpts:
+            variables = load_codec_checkpoint(args.codec_ckpts[q])
+        else:
+            print(f"[tvc] WARNING: random codec weights for q={q} (no --codec-ckpts)")
+            variables = model.init(jax.random.PRNGKey(q), jnp.zeros((1, 64, 64, 3)))
+        coders[q] = ELICCoder(model, variables)
+
+    if args.ckpt:
+        variables = load_diffusion_checkpoint(args.ckpt, cfg)
+        predictor = FramePredictor(cfg, variables)
+    else:
+        print("[tvc] WARNING: random diffusion weights (no --ckpt)")
+        predictor = FramePredictor.create(cfg)
+
+    lp = LPIPSMetric.create(args.lpips_alex, args.lpips_lin)
+    if not lp.calibrated:
+        print("[tvc] WARNING: LPIPS running uncalibrated (no backbone weights)")
+    fvd = None
+    if not args.no_fvd:
+        sd = None
+        if args.i3d_ckpt:
+            import torch
+
+            sd = torch.load(args.i3d_ckpt, map_location="cpu")
+        fvd = FVDMetric(sd)
+        if not fvd.calibrated:
+            print("[tvc] WARNING: FVD running uncalibrated (no I3D weights)")
+
+    run_sweep(
+        cfg, data, coders, predictor, args.output_path,
+        start_idx=args.start_idx, end_idx=args.end_idx,
+        qualities=args.qualities, with_fvd=not args.no_fvd,
+        lpips_metric=lp, fvd_metric=fvd,
+        bench_264=args.bench_264, bench_265=args.bench_265,
+    )
+    return 0
+
+
+def cmd_codec(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="tvc codec")
+    _add_config_args(ap)
+    ap.add_argument("--input-npy", required=True, help="(T,H,W,3) or (T,C,H,W) [0,1] frames")
+    ap.add_argument("--ckpt", type=str, default=None, help="ELIC checkpoint .pth.tar")
+    ap.add_argument("--output-npy", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _load_cfg(args)
+    from tvc.metrics.pixel import psnr
+    from tvc.models.codec.coding import ELICCoder
+    from tvc.models.codec.elic import make_elic
+    from tvc.pipeline.keyframe import code_frames
+    from tvc.utils.convert import load_codec_checkpoint
+
+    x = np.load(args.input_npy).astype(np.float32)
+    if x.ndim == 4 and x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
+        x = x.transpose(0, 2, 3, 1)
+    model = make_elic(cfg.codec)
+    if args.ckpt:
+        variables = load_codec_checkpoint(args.ckpt)
+    else:
+        print("[tvc] WARNING: random codec weights")
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    coder = ELICCoder(model, variables)
+    x_hat, bits = code_frames(coder, x, cfg.codec.patch)
+    bpp = sum(bits) / (x.shape[0] * x.shape[1] * x.shape[2])
+    print(f"frames={x.shape[0]} bpp={bpp:.4f} "
+          f"psnr={np.mean([psnr(x[i], x_hat[i]) for i in range(len(x))]):.2f}dB")
+    if args.output_npy:
+        np.save(args.output_npy, x_hat)
+    return 0
+
+
+def cmd_anchors(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="tvc anchors")
+    ap.add_argument("--data-npy", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--workdir", default="/tmp/tvc_anchors")
+    ap.add_argument("--codec", choices=["libx264", "libx265"], default="libx264")
+    ap.add_argument("--qp-min", type=int, default=0)
+    ap.add_argument("--qp-max", type=int, default=51)
+    ap.add_argument("--start-idx", type=int, default=0)
+    ap.add_argument("--end-idx", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from tvc.bench.anchors import build_anchor_array, have_ffmpeg
+    from tvc.pipeline.driver import load_dataset
+
+    if not have_ffmpeg():
+        print("ffmpeg not available; anchor harness requires it", file=sys.stderr)
+        return 2
+    import numpy as np
+
+    data = load_dataset(args.data_npy)[args.start_idx : args.end_idx + 1]
+    arr = build_anchor_array(data, args.workdir, args.codec,
+                             range(args.qp_min, args.qp_max + 1))
+    np.save(args.output, arr)
+    print(f"saved {arr.shape} -> {args.output}")
+    return 0
+
+
+def cmd_bench(argv: List[str]) -> int:
+    sys.argv = ["bench.py"] + argv
+    import bench  # repo-root bench driver
+
+    bench.main()
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmds = {"sweep": cmd_sweep, "codec": cmd_codec, "anchors": cmd_anchors, "bench": cmd_bench}
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in cmds:
+        print(f"usage: python -m tvc.cli {{{','.join(cmds)}}} ...")
+        return 0 if argv and argv[0] in ("-h", "--help") else 1
+    return cmds[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

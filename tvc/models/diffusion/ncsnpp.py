@@ -274,7 +274,12 @@ class UNetMoreDDPM(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.unet = NCSNpp(spec=NCSNppSpec.from_config(self.cfg), dtype=self.dtype, name="unet")
+        if self.cfg.model.spade:
+            from tvc.models.diffusion.spade import SPADENCSNpp
+
+            self.unet = SPADENCSNpp(cfg=self.cfg, dtype=self.dtype, name="unet")
+        else:
+            self.unet = NCSNpp(spec=NCSNppSpec.from_config(self.cfg), dtype=self.dtype, name="unet")
         sched = make_schedule(self.cfg)
         self.alphas = jnp.asarray(sched["alphas"], dtype=jnp.float32)
 
