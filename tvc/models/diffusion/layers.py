@@ -56,7 +56,7 @@ def default_init(scale: float = 1.0):
 
 def num_groups_for(ch: int) -> int:
     """Reference group-count quirk (layerspp.py:212-215, 350-352, 473-477)."""
-    ng = min(ch // 4, 32)
+    ng = max(min(ch // 4, 32), 1)  # max(,1): tolerate ch < 4 in tiny test nets
     while ch % ng != 0:
         ng -= 1
     return ng
