@@ -28,12 +28,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # persistent XLA compile cache: first run pays ~minutes for the 100-step
-    # 262M-UNet scan; subsequent runs (e.g. the scoring driver) hit the cache
-    cache_dir = os.environ.get("TVC_JAX_CACHE", "/root/.cache/jax_tvc")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Optional persistent XLA compile cache (TVC_JAX_CACHE=/path). Disabled by
+    # default: the axon remote-compile backend stalls when the persistent
+    # cache is enabled (observed: >20 min vs ~70 s for the same program).
+    cache_dir = os.environ.get("TVC_JAX_CACHE", "")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tvc.bench.throughput import bench_pipeline
 

@@ -20,3 +20,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", platform)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip @pytest.mark.slow tests unless TVC_RUN_SLOW=1 (they cover the
+    CPU-expensive I3D forward and full driver sweeps; ~5 extra minutes)."""
+    if os.environ.get("TVC_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow; set TVC_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

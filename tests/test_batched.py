@@ -1,0 +1,60 @@
+"""Batched GOP runner: lockstep chains must reproduce per-chain semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tvc.metrics.lpips import LPIPSMetric
+from tvc.models.codec.coding import ELICCoder
+from tvc.models.codec.elic import ELICModel
+from tvc.pipeline.batched import BatchedGOPRunner, GOPJob
+from tvc.pipeline.predictor import FramePredictor
+
+from tests.test_pipeline import tiny_cfg
+
+RNG = np.random.RandomState(21)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    predictor = FramePredictor.create(cfg)
+    codec = ELICModel(N=16, M=24, groups=(4, 4, 4, 4, 8))
+    variables = codec.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    coder = ELICCoder(codec, variables)
+    lp = LPIPSMetric.create()
+    return cfg, predictor, coder, lp
+
+
+def test_batched_runner_mixed_jobs(setup):
+    cfg, predictor, coder, lp = setup
+    videos = RNG.rand(3, 10, 64, 64, 3).astype(np.float32)
+    jobs = [
+        GOPJob(video=videos[0], threshold=1e9, quality=4, num_frames_total=8),
+        GOPJob(video=videos[1], threshold=-1.0, quality=4, num_frames_total=8),
+        GOPJob(video=videos[2], threshold=1e9, quality=4, num_frames_total=8),
+    ]
+    runner = BatchedGOPRunner(cfg, predictor, {4: coder}, lpips=lp, batch_size=4)
+    results = runner.run(jobs, jax.random.PRNGKey(0))
+    assert len(results) == 3
+    # job 0/2: loose threshold -> only the 2 keyframes transmitted
+    assert np.all(results[0].d[0][2:] == 0)
+    assert np.all(results[2].d[0][2:] == 0)
+    # job 1: impossible threshold -> everything transmitted
+    assert np.all(results[1].d[0] == 1)
+    for r in results:
+        assert r.x_ge.shape == (1, 8, 64, 64, 3)
+        assert r.bits > 0 and np.isfinite(r.bpp)
+
+
+def test_batched_runner_smaller_batch_than_jobs(setup):
+    cfg, predictor, coder, lp = setup
+    videos = RNG.rand(3, 8, 64, 64, 3).astype(np.float32)
+    jobs = [GOPJob(video=v, threshold=1e9, quality=4, num_frames_total=6) for v in videos]
+    runner = BatchedGOPRunner(cfg, predictor, {4: coder}, lpips=lp, batch_size=2)
+    results = runner.run(jobs, jax.random.PRNGKey(1))
+    assert len(results) == 3
+    for r in results:
+        assert r.x_ge.shape[1] == 6

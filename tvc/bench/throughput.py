@@ -49,7 +49,8 @@ def bench_pipeline(
         cfg.sampling.subsample = subsample
     n_steps = cfg.sampling.subsample
 
-    predictor = FramePredictor.create(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    predictor = FramePredictor.create(cfg, jax.random.PRNGKey(seed), dtype=dtype,
+                                      fast_init=True)
     size = cfg.data.image_size
     c = cfg.data.channels
     cond = jnp.zeros((batch, size, size, c * cfg.data.num_frames_cond), dtype)

@@ -56,7 +56,8 @@ class FVDMetric:
             self.calibrated = True
         self.params = params
         self.batch_size = batch_size
-        self._feats = jax.jit(lambda v: self.model.apply({"params": self.params}, v))
+        _fn = jax.jit(lambda p, v: self.model.apply({"params": p}, v))
+        self._feats = lambda v: _fn(self.params, v)
 
     def features(self, videos: np.ndarray) -> np.ndarray:
         """videos: (B,T,H,W,C) in [0,1] -> (B, 400) features (fvd.py:41-49)."""

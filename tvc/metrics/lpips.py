@@ -61,17 +61,32 @@ class AlexNetFeatures(nn.Module):
         return taps
 
 
+def _make_backbone(net: str, dtype):
+    if net == "alex":
+        return AlexNetFeatures(dtype=dtype, name="net"), _ALEX_TAPS
+    if net == "vgg":
+        from tvc.metrics.backbones import VGG16Features, VGG_TAPS
+
+        return VGG16Features(dtype=dtype, name="net"), VGG_TAPS
+    if net == "squeeze":
+        from tvc.metrics.backbones import SQUEEZE_TAPS, SqueezeNetFeatures
+
+        return SqueezeNetFeatures(dtype=dtype, name="net"), SQUEEZE_TAPS
+    raise ValueError(f"unknown LPIPS net: {net}")
+
+
 class LPIPS(nn.Module):
-    """net-lin LPIPS distance; inputs NHWC in [-1, 1]."""
+    """net-lin LPIPS distance; inputs NHWC in [-1, 1]. net: alex|vgg|squeeze."""
 
     spatial: bool = False
+    net_type: str = "alex"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x0: jax.Array, x1: jax.Array) -> jax.Array:
         shift = jnp.asarray(_SHIFT, self.dtype)
         scale = jnp.asarray(_SCALE, self.dtype)
-        net = AlexNetFeatures(dtype=self.dtype, name="net")
+        net, taps = _make_backbone(self.net_type, self.dtype)
         f0 = net((x0 - shift) / scale)
         f1 = net((x1 - shift) / scale)
 
@@ -80,7 +95,7 @@ class LPIPS(nn.Module):
             a = a / jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
             b = b / jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
             diff = (a - b) ** 2
-            w = self.param(f"lin{k}", nn.initializers.constant(0.1), (1, 1, _ALEX_TAPS[k], 1))
+            w = self.param(f"lin{k}", nn.initializers.constant(0.1), (1, 1, taps[k], 1))
             d = jax.lax.conv_general_dilated(
                 diff, jnp.maximum(w.astype(self.dtype), 0.0), (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -100,10 +115,12 @@ class LPIPSMetric:
     params: dict
     calibrated: bool
     spatial: bool = False
+    net_type: str = "alex"
 
     def __post_init__(self):
-        model = LPIPS(spatial=self.spatial)
-        self._fn = jax.jit(lambda a, b: model.apply({"params": self.params}, a, b))
+        model = LPIPS(spatial=self.spatial, net_type=self.net_type)
+        _fn = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b))
+        self._fn = lambda a, b: _fn(self.params, a, b)
 
     def __call__(self, a, b) -> jax.Array:
         """a, b: NHWC float arrays (see module docstring for range semantics)."""
@@ -111,22 +128,25 @@ class LPIPSMetric:
 
     @classmethod
     def create(cls, alex_pth: Optional[str] = None, lin_pth: Optional[str] = None,
-               spatial: bool = False) -> "LPIPSMetric":
-        model = LPIPS(spatial=spatial)
+               spatial: bool = False, net_type: str = "alex") -> "LPIPSMetric":
+        model = LPIPS(spatial=spatial, net_type=net_type)
         x = jnp.zeros((1, 64, 64, 3))
         params = model.init(jax.random.PRNGKey(0), x, x)["params"]
         calibrated = False
         if alex_pth is not None or lin_pth is not None:
-            params, calibrated = load_lpips_weights(params, alex_pth, lin_pth)
-        return cls(params=dict(params), calibrated=calibrated, spatial=spatial)
+            params, calibrated = load_lpips_weights(params, alex_pth, lin_pth,
+                                                    net_type=net_type)
+        return cls(params=dict(params), calibrated=calibrated, spatial=spatial,
+                   net_type=net_type)
 
 
-def load_lpips_weights(params: dict, alex_pth: Optional[str], lin_pth: Optional[str]):
+def load_lpips_weights(params: dict, alex_pth: Optional[str], lin_pth: Optional[str],
+                       net_type: str = "alex"):
     """Convert torch state dicts into the Flax param tree.
 
-    alex_pth: torchvision alexnet (keys `features.{0,3,6,8,10}.{weight,bias}`)
+    alex_pth: torchvision backbone state dict (alexnet / vgg16 / squeezenet1_1)
     lin_pth: lpips linear heads (keys `lin{k}.model.1.weight`, shipped with the
-             reference at weights/v0.1/alex.pth)
+             reference at weights/v0.1/{alex,vgg,squeeze}.pth)
     """
     import torch
 
@@ -134,16 +154,26 @@ def load_lpips_weights(params: dict, alex_pth: Optional[str], lin_pth: Optional[
     loaded_any = False
     if alex_pth is not None:
         sd = torch.load(alex_pth, map_location="cpu")
-        conv_ids = [0, 3, 6, 8, 10]
-        for i, cid in enumerate(conv_ids):
-            w = sd[f"features.{cid}.weight"].numpy().transpose(2, 3, 1, 0)
-            b = sd[f"features.{cid}.bias"].numpy()
-            params["net"][f"conv{i}"]["kernel"] = w
-            params["net"][f"conv{i}"]["bias"] = b
+        if net_type == "alex":
+            conv_ids = [0, 3, 6, 8, 10]
+            for i, cid in enumerate(conv_ids):
+                params["net"][f"conv{i}"]["kernel"] = (
+                    sd[f"features.{cid}.weight"].numpy().transpose(2, 3, 1, 0)
+                )
+                params["net"][f"conv{i}"]["bias"] = sd[f"features.{cid}.bias"].numpy()
+        elif net_type == "vgg":
+            from tvc.metrics.backbones import convert_vgg16
+
+            params["net"] = convert_vgg16(params["net"], {k: v.numpy() for k, v in sd.items()})
+        elif net_type == "squeeze":
+            from tvc.metrics.backbones import convert_squeezenet
+
+            params["net"] = convert_squeezenet(params["net"], {k: v.numpy() for k, v in sd.items()})
         loaded_any = True
     if lin_pth is not None:
         sd = torch.load(lin_pth, map_location="cpu")
-        for k in range(5):
+        n_taps = sum(1 for k in params if k.startswith("lin"))
+        for k in range(n_taps):
             key = f"lin{k}.model.1.weight"
             if key not in sd:  # older layouts
                 key = f"lin{k}.weight"

@@ -49,31 +49,44 @@ class ELICCoder:
         self.gc = GaussianCoder()
         m = model
 
-        def _apply(method, *args):
-            return m.apply(variables, *args, method=method)
+        # params are explicit jit args (closing over them embeds the weight
+        # tree as program constants and slows compilation drastically)
+        def _enc(v, x):
+            return m.apply(v, x, method=ELICModel.encode_transforms)
 
-        self._encode_transforms = jax.jit(partial(_apply, ELICModel.encode_transforms))
-        self._hyper = jax.jit(partial(_apply, ELICModel.hyper_params))
-        self._synth = jax.jit(partial(_apply, ELICModel.synthesize))
+        def _hyp(v, z_hat):
+            return m.apply(v, z_hat, method=ELICModel.hyper_params)
+
+        def _syn(v, y_hat):
+            return m.apply(v, y_hat, method=ELICModel.synthesize)
+
+        _enc_j = jax.jit(_enc)
+        _hyp_j = jax.jit(_hyp)
+        _syn_j = jax.jit(_syn)
+        self._encode_transforms = lambda x: _enc_j(self.variables, x)
+        self._hyper = lambda z: _hyp_j(self.variables, z)
+        self._synth = lambda y: _syn_j(self.variables, y)
 
         # per-slice stage closures (static slice index via Python closure)
         self._phase1 = []
         self._phase2 = []
         for i in range(m.num_slices):
-            def phase1(y_hat_first, y_hat_prev, lm, ls, _i=i):
-                sup = m.apply(variables, _i, y_hat_first, y_hat_prev, lm, ls,
+            def phase1(v, y_hat_first, y_hat_prev, lm, ls, _i=i):
+                sup = m.apply(v, _i, y_hat_first, y_hat_prev, lm, ls,
                               method=ELICModel.slice_support)
-                mu_a, sc_a = m.apply(variables, _i, sup, method=ELICModel.anchor_params)
+                mu_a, sc_a = m.apply(v, _i, sup, method=ELICModel.anchor_params)
                 return sup, cb.pack_anchor(mu_a), cb.pack_anchor(sc_a)
 
-            def phase2(packed_anchor_q, sup, _i=i):
+            def phase2(v, packed_anchor_q, sup, _i=i):
                 y_anchor_dec = cb.unpack_anchor(packed_anchor_q)
-                mu_n, sc_n = m.apply(variables, _i, y_anchor_dec, sup,
+                mu_n, sc_n = m.apply(v, _i, y_anchor_dec, sup,
                                      method=ELICModel.nonanchor_params)
                 return y_anchor_dec, cb.pack_nonanchor(mu_n), cb.pack_nonanchor(sc_n)
 
-            self._phase1.append(jax.jit(phase1))
-            self._phase2.append(jax.jit(phase2))
+            p1j = jax.jit(phase1)
+            p2j = jax.jit(phase2)
+            self._phase1.append(lambda *a, _f=p1j: _f(self.variables, *a))
+            self._phase2.append(lambda *a, _f=p2j: _f(self.variables, *a))
 
         self._pack_anchor = jax.jit(cb.pack_anchor)
         self._pack_nonanchor = jax.jit(cb.pack_nonanchor)

@@ -309,3 +309,23 @@ class ELICModel(nn.Module):
 def make_elic(cfg: CodecConfig | None = None, dtype=jnp.float32) -> ELICModel:
     cfg = cfg or CodecConfig()
     return ELICModel(N=cfg.N, M=cfg.M, groups=tuple(cfg.groups), dtype=dtype)
+
+
+if __name__ == "__main__":
+    # codec smoke test / profiler (reference: Network.py:646-664 __main__):
+    # forward a random 256x256 image, print output shape + params + FLOPs.
+    import jax as _jax
+
+    from tvc.utils.profiler import cost_analysis, count_params
+
+    model = make_elic()
+    x = jnp.zeros((1, 256, 256, 3))
+    variables = model.init(_jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    print("x_hat:", out["x_hat"].shape)
+    print(f"params: {count_params(variables) / 1e6:.2f}M")
+    try:
+        ca = cost_analysis(lambda v, xx: model.apply(v, xx)["x_hat"], variables, x)
+        print(f"flops: {ca.get('flops', float('nan')) / 1e9:.2f} GFLOP")
+    except Exception as e:  # cost analysis availability differs per backend
+        print("flops: unavailable:", e)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -89,13 +90,29 @@ def run_sweep(
         out_root = os.path.join(output_path, f"output_{vid}")
         os.makedirs(out_root, exist_ok=True)
         video = data[vid]
+        writer_threads: List[threading.Thread] = []
+
+        def artifact_cb(q, thr, x_ge, _vid=vid, _root=out_root, _video=video):
+            if not save_artifacts:
+                return
+            # background writer like the reference (city_sender.py:602-604)
+            t = threading.Thread(
+                target=save_output_strip,
+                args=(_video[: x_ge.shape[0]].copy(), x_ge.copy(), q, thr, _vid, _root),
+            )
+            t.start()
+            writer_threads.append(t)
+
         points = rate_sweep(
             cfg, video, coders, predictor, lpips_metric,
             fvd_metric=fvd_metric if with_fvd else None,
             qualities=qualities, thresholds=thresholds,
             key=jax.random.PRNGKey(cfg.seed + vid),
             num_frames_total=min(30, video.shape[0]),
+            artifact_cb=artifact_cb,
         )
+        for t in writer_threads:
+            t.join()
         results[vid] = points
         if not points:
             continue

@@ -35,13 +35,16 @@ class FramePredictor:
         self.version = (sampler_version or cfg.model.version).upper()
         self.sub = self.schedule.subsample(cfg.sampling.subsample)
 
-        def eps_fn(x, labels, cond):
-            return self.model.apply(self.variables, x, labels, cond)
-
         samp = self.cfg.sampling
+        model = self.model
 
+        # params are an explicit jit argument — closing over them would embed
+        # 262M constants into the program and balloon compile time
         if self.version == "FPNDM":
-            def sample(key, x_init, cond):
+            def sample(variables, key, x_init, cond):
+                def eps_fn(x, labels, c):
+                    return model.apply(variables, x, labels, c)
+
                 return fpndm_sampler(
                     key, x_init, eps_fn, self.schedule, samp.subsample, cond=cond,
                     clip_before=samp.clip_before,
@@ -49,7 +52,10 @@ class FramePredictor:
         else:
             sampler = get_sampler(self.version)
 
-            def sample(key, x_init, cond):
+            def sample(variables, key, x_init, cond):
+                def eps_fn(x, labels, c):
+                    return model.apply(variables, x, labels, c)
+
                 return sampler(
                     key, x_init, eps_fn, self.sub, cond=cond,
                     denoise=samp.denoise, clip_before=samp.clip_before,
@@ -59,8 +65,13 @@ class FramePredictor:
         self._sample = jax.jit(sample)
 
     @classmethod
-    def create(cls, cfg: Config, rng: Optional[jax.Array] = None, **kw) -> "FramePredictor":
-        """Random-init predictor (for tests/benchmarks without a checkpoint)."""
+    def create(cls, cfg: Config, rng: Optional[jax.Array] = None,
+               fast_init: bool = False, **kw) -> "FramePredictor":
+        """Random-init predictor (for tests/benchmarks without a checkpoint).
+
+        fast_init=True materializes zero weights from eval_shape instead of
+        tracing the full init program — identical compute cost per step, much
+        faster bring-up for throughput benchmarking of the 262M UNet."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         model = UNetMoreDDPM(cfg=cfg, dtype=kw.get("dtype", jnp.float32))
         size = cfg.data.image_size
@@ -70,7 +81,13 @@ class FramePredictor:
             (1, size, size, c * (cfg.data.num_frames_cond + cfg.data.num_frames_future)),
             model.dtype,
         )
-        variables = model.init(rng, x, jnp.zeros((1,), jnp.int32), cond)
+        if fast_init:
+            shapes = jax.eval_shape(model.init, rng, x, jnp.zeros((1,), jnp.int32), cond)
+            variables = jax.tree_util.tree_map(
+                lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes
+            )
+        else:
+            variables = model.init(rng, x, jnp.zeros((1,), jnp.int32), cond)
         return cls(cfg, variables, **kw)
 
     def generate(self, key: jax.Array, cond_frames: jax.Array) -> jax.Array:
@@ -85,7 +102,7 @@ class FramePredictor:
         x_init = jax.random.normal(
             knoise, (b, size, size, c * cfg.data.num_frames), self.dtype
         )
-        out = self._sample(ksamp, x_init, cond)[-1]
+        out = self._sample(self.variables, ksamp, x_init, cond)[-1]
         out = inverse_data_transform(cfg, out.astype(jnp.float32))
         # (B,H,W,C*F) -> (B,F,H,W,C): frames are channel-stacked [f0 c0..2, f1 ...]
         out = out.reshape(b, size, size, cfg.data.num_frames, c)

@@ -160,6 +160,7 @@ def rate_sweep(
     key: Optional[jax.Array] = None,
     num_frames_total: int = 30,
     bpp_stop: float = 1.0,
+    artifact_cb: Optional[Callable] = None,  # (quality, threshold, x_ge) per point
 ) -> List[RatePoint]:
     """(quality x threshold) sweep over one video (city_sender.py:495-607).
 
@@ -194,4 +195,6 @@ def rate_sweep(
                 psnr_list=psnr_list, lpips_list=lpips_list, fvd=fvd_val,
                 d=[int(v) for v in gop.d[0]],
             ))
+            if artifact_cb is not None:
+                artifact_cb(int(q), float(rho), gop.x_ge[0])
     return points
