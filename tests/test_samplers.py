@@ -113,6 +113,43 @@ def test_langevin_runs():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_langevin_variants_run():
+    from tvc.samplers.langevin import (
+        anneal_langevin_dynamics_consistent,
+        anneal_langevin_dynamics_inpainting,
+        anneal_langevin_dynamics_interpolation,
+    )
+
+    sigmas = np.geomspace(10.0, 0.01, 8)
+
+    def eps_fn(x, labels, cond):
+        return -0.1 * x  # crude score stand-in
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 1))
+
+    # consistent: step_lr must sit inside the (lower, upper) window
+    inv_gamma = (sigmas[-1] / sigmas[-2]) ** 0  # placeholder; compute properly
+    consistent = np.geomspace(sigmas[0], sigmas[-1], (len(sigmas) - 1) * 2 + 1)
+    step_lr = float(sigmas[-1] ** 2)
+    out = anneal_langevin_dynamics_consistent(
+        jax.random.PRNGKey(1), x, eps_fn, sigmas, n_steps_each=2, step_lr=step_lr
+    )
+    assert out.shape == (1, 2, 8, 8, 1) and np.all(np.isfinite(np.asarray(out)))
+
+    ref = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
+    traj = anneal_langevin_dynamics_inpainting(
+        jax.random.PRNGKey(3), x, ref, eps_fn, sigmas, n_steps_each=2, step_lr=1e-4
+    )
+    assert traj.shape == (16, 2, 8, 8, 1)
+
+    out2 = anneal_langevin_dynamics_interpolation(
+        jax.random.PRNGKey(4), x, eps_fn, sigmas, n_interpolations=3,
+        n_steps_each=2, step_lr=1e-4
+    )
+    assert out2.shape == (1, 6, 8, 8, 1)
+    assert np.all(np.isfinite(np.asarray(out2)))
+
+
 def test_get_sampler_registry():
     assert get_sampler("ddpm") is ddpm_sampler
     assert get_sampler("DDIM") is ddim_sampler

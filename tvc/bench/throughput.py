@@ -9,12 +9,17 @@ Measures the two cost centers of the sender (SURVEY.md §3):
 The reference's worst case is ~240 s per 30-frame video (~0.125 frames/s):
 <=5 generation cycles x 100 DDPM steps plus keyframe codings (BASELINE.md).
 The same GOP model here: t_gop = 5 * t_cycle + 3 * t_keyframe_pair
-(initial pair + up to two fallback pairs), fps = 30 / t_gop.
+(initial pair + up to two fallback pairs), fps = 30 * batch / t_gop.
+
+Timing methodology: every measured call ends in a host fetch (np.asarray) —
+on the axon remote backend `block_until_ready` can return before the compute
+finishes, so device-side timing alone under-reports.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Optional
 
@@ -23,6 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from tvc.core.config import Config
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 @dataclasses.dataclass
@@ -49,44 +58,54 @@ def bench_pipeline(
         cfg.sampling.subsample = subsample
     n_steps = cfg.sampling.subsample
 
+    _log("building flagship predictor (fast init)")
     predictor = FramePredictor.create(cfg, jax.random.PRNGKey(seed), dtype=dtype,
                                       fast_init=True)
     size = cfg.data.image_size
     c = cfg.data.channels
     cond = jnp.zeros((batch, size, size, c * cfg.data.num_frames_cond), dtype)
 
-    # compile + warmup
+    _log(f"compiling {n_steps}-step sampler")
     t0 = time.time()
-    predictor.generate(jax.random.PRNGKey(1), cond).block_until_ready()
+    np.asarray(predictor.generate(jax.random.PRNGKey(1), cond))  # compile + fetch
     compile_time = time.time() - t0
+    _log(f"sampler compiled+ran in {compile_time:.1f}s")
 
     reps = 3
     t0 = time.time()
     for i in range(reps):
-        predictor.generate(jax.random.PRNGKey(2 + i), cond).block_until_ready()
+        np.asarray(predictor.generate(jax.random.PRNGKey(2 + i), cond))
     t_cycle = (time.time() - t0) / reps
     t_step = t_cycle / (n_steps + 1)  # +1: final denoise step
+    _log(f"steady cycle: {t_cycle:.3f}s ({t_step * 1e3:.2f} ms/step)")
 
     t_pair = 0.0
     if include_codec:
         from tvc.models.codec.coding import ELICCoder
         from tvc.models.codec.elic import ELICModel
         from tvc.pipeline.keyframe import code_frames
+        from tvc.utils.fastinit import fast_init
 
+        _log("building full-size ELIC coder (host-side init)")
         model = ELICModel()
-        variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 128, 3)))
+        variables = fast_init(model, jnp.zeros((1, 128, 128, 3)), seed=3)
         coder = ELICCoder(model, variables)
         frames = np.random.RandomState(0).rand(2, 128, 128, 3).astype(np.float32)
-        code_frames(coder, frames)  # compile
+        _log("compiling codec stages")
+        t0 = time.time()
+        code_frames(coder, frames)  # compile all stages end-to-end
+        _log(f"codec compiled+ran in {time.time() - t0:.1f}s")
         t0 = time.time()
         for _ in range(3):
             code_frames(coder, frames)
         t_pair = (time.time() - t0) / 3
+        _log(f"keyframe pair: {t_pair:.3f}s")
 
     # scale a measured cycle to the reference's 100-step budget if subsampled
     t_cycle_100 = t_cycle * (101 / (n_steps + 1))
     t_gop = 5 * t_cycle_100 + 3 * t_pair
     fps = 30.0 * batch / t_gop
+    _log(f"GOP model: 5x{t_cycle_100:.2f}s + 3x{t_pair:.2f}s -> {fps:.3f} frames/s/chip")
     return BenchResult(
         t_unet_step=t_step,
         t_cycle=t_cycle_100,
