@@ -100,6 +100,16 @@ def test_compress_bits_match_likelihood_estimate(model_and_vars):
     assert real_bits > est_bits * 0.5
 
 
+def test_compress_recon_equals_decompress(model_and_vars):
+    """Sender fast path: compress(return_recon=True) must equal decompress."""
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables)
+    x = RNG.rand(1, 64, 64, 3).astype(np.float32)
+    enc = coder.compress(x, return_recon=True)
+    dec = coder.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_allclose(enc["x_hat"], dec["x_hat"], atol=1e-6)
+
+
 def test_decompress_is_deterministic(model_and_vars):
     model, variables = model_and_vars
     coder = ELICCoder(model, variables)

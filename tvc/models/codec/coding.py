@@ -94,8 +94,14 @@ class ELICCoder:
 
     # ---------------- compress ----------------
 
-    def compress(self, x: np.ndarray) -> Dict[str, Any]:
-        """x: (B,H,W,3) in [0,1]. Returns strings + z spatial shape + timings."""
+    def compress(self, x: np.ndarray, return_recon: bool = False) -> Dict[str, Any]:
+        """x: (B,H,W,3) in [0,1]. Returns strings + z spatial shape + timings.
+
+        return_recon=True also synthesizes x_hat from the compress-side decoded
+        latents — identical to decompress() by construction (the encoder feeds
+        its own decoded symbols forward, Network.py:401,427; equality is
+        asserted in tests) at ~half the device round-trips. This is the sender
+        fast path; the receiver still uses decompress()."""
         t0 = time.time()
         y, z = self._encode_transforms(jnp.asarray(x, jnp.float32))
         y.block_until_ready()
@@ -116,6 +122,7 @@ class ELICCoder:
 
         t0 = time.time()
         y_strings: List[List[List[bytes]]] = []
+        y_hat_slices: List[Any] = []
         y_hat_first = y_hat_prev = None
         for i in range(self.model.num_slices):
             sup, mu_a_p, sc_a_p = self._phase1[i](y_hat_first, y_hat_prev, lm, ls)
@@ -143,14 +150,21 @@ class ELICCoder:
             if i == 0:
                 y_hat_first = y_hat_slice
             y_hat_prev = y_hat_slice
+            y_hat_slices.append(y_hat_slice)
             y_strings.append([anchor_strings, non_anchor_strings])
         t_params = time.time() - t0
 
-        return {
+        out = {
             "strings": [y_strings, z_strings],
             "shape": tuple(z_np.shape[1:3]),
             "time": {"y_enc": t_enc, "z_enc": t_z, "z_dec": t_zdec, "params": t_params},
         }
+        if return_recon:
+            t0 = time.time()
+            x_hat = self._synth(jnp.concatenate(y_hat_slices, axis=-1))
+            out["x_hat"] = np.asarray(x_hat)
+            out["time"]["y_dec"] = time.time() - t0
+        return out
 
     # ---------------- decompress ----------------
 

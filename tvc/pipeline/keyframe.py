@@ -45,7 +45,8 @@ def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64) -> Tuple[
     frames = np.asarray(frames, np.float32)
     t, h, w, _ = frames.shape
     x, (pad_b, pad_r) = pad_to_multiple(frames, patch)
-    enc = coder.compress(x)
-    dec = coder.decompress(enc["strings"], enc["shape"])
-    x_hat = dec["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
+    # sender fast path: reconstruction comes from the compress-side decoded
+    # latents (== decompress() output by construction; asserted in tests)
+    enc = coder.compress(x, return_recon=True)
+    x_hat = enc["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
     return x_hat, per_frame_bits(enc["strings"], t)
