@@ -60,6 +60,23 @@ def test_partition_work():
     assert abs(len(shards[0]) - len(shards[2])) <= 1
 
 
+def test_collectives_on_cpu_mesh():
+    from tvc.parallel.collectives import all_gather_frames, broadcast_from, ring_exchange
+
+    mesh = make_mesh(MeshConfig(model_parallel=1))  # 8-way data axis
+    x = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+    xs = jax.device_put(x, data_sharding(mesh, 2))
+
+    g = all_gather_frames(xs, mesh)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(x))
+
+    b = broadcast_from(xs, mesh, src=3)  # src's local block, replicated
+    np.testing.assert_allclose(np.asarray(b), np.asarray(x[3:4]))
+
+    r = ring_exchange(xs, mesh, shift=1)
+    np.testing.assert_allclose(np.asarray(r), np.roll(np.asarray(x), 1, axis=0))
+
+
 def test_dryrun_multichip_8():
     from tvc.parallel.train import dryrun_multichip
 

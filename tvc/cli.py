@@ -55,6 +55,12 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--lpips-lin", type=str, default=None, help="lpips linear heads .pth")
     ap.add_argument("--bench-264", type=str, default=None)
     ap.add_argument("--bench-265", type=str, default=None)
+    ap.add_argument("--batched", type=int, default=0,
+                    help="run all (video,q,rho) jobs as lockstep-batched GOP "
+                         "chains with this batch size (0 = sequential)")
+    ap.add_argument("--num-processes", type=int, default=1,
+                    help="multi-host: total processes sharing the job list")
+    ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args(argv)
 
     import jax
@@ -104,13 +110,24 @@ def cmd_sweep(argv: List[str]) -> int:
         if not fvd.calibrated:
             print("[tvc] WARNING: FVD running uncalibrated (no I3D weights)")
 
-    run_sweep(
-        cfg, data, coders, predictor, args.output_path,
-        start_idx=args.start_idx, end_idx=args.end_idx,
-        qualities=args.qualities, with_fvd=not args.no_fvd,
-        lpips_metric=lp, fvd_metric=fvd,
-        bench_264=args.bench_264, bench_265=args.bench_265,
-    )
+    if args.batched > 0:
+        from tvc.pipeline.driver import run_sweep_batched
+
+        run_sweep_batched(
+            cfg, data, coders, predictor, args.output_path,
+            start_idx=args.start_idx, end_idx=args.end_idx,
+            qualities=args.qualities, batch_size=args.batched,
+            with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
+            num_processes=args.num_processes, process_id=args.process_id,
+        )
+    else:
+        run_sweep(
+            cfg, data, coders, predictor, args.output_path,
+            start_idx=args.start_idx, end_idx=args.end_idx,
+            qualities=args.qualities, with_fvd=not args.no_fvd,
+            lpips_metric=lp, fvd_metric=fvd,
+            bench_264=args.bench_264, bench_265=args.bench_265,
+        )
     return 0
 
 

@@ -60,18 +60,20 @@ class BatchedGOPRunner:
         self.batch_size = batch_size
 
     def _decide(self, st: _ChainState, pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
-        """Longest acceptable prefix (city_sender.py:353-406)."""
-        accepted = []
-        for j in range(gt.shape[0]):
-            if st.job.use_psnr:
-                ok = psnr(pred[j], gt[j]) >= st.job.threshold
-            else:
-                dj = float(self.lpips(pred[j : j + 1], gt[j : j + 1])[0])
-                ok = dj <= st.job.threshold
-            if not ok:
-                break
-            accepted.append(pred[j])
-        return np.stack(accepted) if accepted else np.zeros((0,) + pred.shape[1:], pred.dtype)
+        """Longest acceptable prefix (city_sender.py:353-406), one batched
+        metric call over the candidate frames."""
+        f = gt.shape[0]
+        if f == 0:
+            return np.zeros((0,) + pred.shape[1:], pred.dtype)
+        if st.job.use_psnr:
+            ok = np.asarray([psnr(pred[j], gt[j]) >= st.job.threshold for j in range(f)])
+        else:
+            d = np.asarray(self.lpips(pred[:f], gt))
+            ok = d <= st.job.threshold
+        n_acc = f if ok.all() else int(np.argmin(ok))
+        if not ok[0]:
+            n_acc = 0
+        return pred[:n_acc] if n_acc else np.zeros((0,) + pred.shape[1:], pred.dtype)
 
     def run(self, jobs: Sequence[GOPJob], key: jax.Array,
             patch: int = 64) -> List[GOPResult]:

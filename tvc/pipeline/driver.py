@@ -60,6 +60,91 @@ def save_output_strip(gt: np.ndarray, xge: np.ndarray, q: int, thr: float, idx: 
         pass
 
 
+def run_sweep_batched(
+    cfg: Config,
+    data: np.ndarray,
+    coders: Dict[int, object],
+    predictor: FramePredictor,
+    output_path: str,
+    start_idx: int = 0,
+    end_idx: int = 0,
+    qualities: Sequence[int] = (4, 5),
+    thresholds: Optional[Sequence[float]] = None,
+    batch_size: int = 8,
+    with_fvd: bool = True,
+    lpips_metric: Optional[LPIPSMetric] = None,
+    fvd_metric: Optional[FVDMetric] = None,
+    bpp_stop: float = 1.0,
+    num_processes: int = 1,
+    process_id: int = 0,
+) -> Dict[int, list]:
+    """Throughput-oriented sweep: every (video, quality, threshold) job runs
+    as a lockstep-batched GOP chain (tvc/pipeline/batched.py); the job list is
+    statically sharded across processes for multi-host runs.
+
+    Note: the reference walks thresholds sequentially and early-stops a walk
+    at bpp >= 1.0 (city_sender.py:561); batched mode runs all points and
+    filters afterwards — same retained points, more parallelism."""
+    import dataclasses as _dc
+
+    from tvc.metrics.rd import process_data_and_save
+    from tvc.parallel.mesh import partition_work
+    from tvc.pipeline.batched import BatchedGOPRunner, GOPJob
+    from tvc.pipeline.sender import RatePoint
+
+    if thresholds is None:
+        thresholds = [round(t, 2) for t in np.arange(0.30, 0.02, -0.01)]
+    lpips_metric = lpips_metric or LPIPSMetric.create()
+    if with_fvd and fvd_metric is None:
+        fvd_metric = FVDMetric()
+
+    jobs_meta = [
+        (vid, int(q), float(rho))
+        for vid in range(start_idx, end_idx + 1)
+        for q in qualities
+        for rho in thresholds
+    ]
+    jobs_meta = partition_work(jobs_meta, num_processes, process_id)
+    n_frames = min(30, data.shape[1])
+    jobs = [GOPJob(video=data[vid], threshold=rho, quality=q, num_frames_total=n_frames)
+            for vid, q, rho in jobs_meta]
+
+    runner = BatchedGOPRunner(cfg, predictor, coders, lpips=lpips_metric,
+                              batch_size=batch_size)
+    results = runner.run(jobs, jax.random.PRNGKey(cfg.seed), patch=cfg.codec.patch)
+
+    per_video: Dict[int, list] = {}
+    for (vid, q, rho), gop in zip(jobs_meta, results):
+        if gop.bpp >= bpp_stop:
+            continue
+        video_gt = data[vid]
+        psnr_list = [float(np.round(_psnr_np(gop.x_ge[0, i], video_gt[i]), 10))
+                     for i in range(n_frames)]
+        lpips_list = [float(v) for v in np.asarray(
+            lpips_metric(gop.x_ge[0], video_gt[:n_frames]))]
+        fvd_val = float(fvd_metric(np.repeat(gop.x_ge, 2, 0),
+                                   np.repeat(video_gt[None, :n_frames], 2, 0))) \
+            if (with_fvd and fvd_metric is not None) else float("nan")
+        per_video.setdefault(vid, []).append(RatePoint(
+            quality=q, threshold=rho, bpp=gop.bpp, psnr_list=psnr_list,
+            lpips_list=lpips_list, fvd=fvd_val, d=[int(v) for v in gop.d[0]],
+        ))
+
+    os.makedirs(output_path, exist_ok=True)
+    for vid, points in per_video.items():
+        out_root = os.path.join(output_path, f"output_{vid}")
+        os.makedirs(out_root, exist_ok=True)
+        with open(os.path.join(out_root, "points.json"), "w") as f:
+            json.dump([_dc.asdict(p) for p in points], f, indent=1)
+    return per_video
+
+
+def _psnr_np(a, b):
+    from tvc.metrics.pixel import psnr as _p
+
+    return _p(a, b)
+
+
 def run_sweep(
     cfg: Config,
     data: np.ndarray,

@@ -52,22 +52,24 @@ class Sender:
 
     def decide(self, pred: np.ndarray, gt: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Accept the longest prefix of predicted frames within threshold
-        (city_sender.py:353-406). pred/gt: (B, F, H, W, C) in [0,1]."""
+        (city_sender.py:353-406). pred/gt: (B, F, H, W, C) in [0,1].
+
+        All candidate frames are scored in ONE batched metric call (the
+        reference loops frame-by-frame); the prefix walk happens on the host.
+        """
         b, f = pred.shape[:2]
         assert b == 1, "per-GOP decision is per-video"
-        accepted: List[np.ndarray] = []
-        for j in range(f):
-            if self.use_psnr:
-                ok = psnr(pred[0, j], gt[0, j]) >= self.threshold
-            else:
-                # reference feeds [0,1] frames to LPIPS un-rescaled (:389)
-                d = float(self.lpips(pred[0, j : j + 1], gt[0, j : j + 1])[0])
-                ok = d <= self.threshold
-            if not ok:
-                break
-            accepted.append(pred[0, j])
-        new_d = np.zeros((1, len(accepted)), dtype=np.int64)
-        new_ge = np.stack(accepted)[None] if accepted else np.zeros((1, 0) + pred.shape[2:])
+        if self.use_psnr:
+            ok = np.asarray([psnr(pred[0, j], gt[0, j]) >= self.threshold for j in range(f)])
+        else:
+            # reference feeds [0,1] frames to LPIPS un-rescaled (:389)
+            d = np.asarray(self.lpips(pred[0], gt[0]))
+            ok = d <= self.threshold
+        n_acc = int(np.argmin(ok)) if not ok.all() else f
+        if f > 0 and not ok[0]:
+            n_acc = 0
+        new_d = np.zeros((1, n_acc), dtype=np.int64)
+        new_ge = pred[:, :n_acc] if n_acc else np.zeros((1, 0) + pred.shape[2:])
         return new_d, new_ge
 
     def update(self, key: jax.Array, x_gt: np.ndarray, x_ge: np.ndarray,
@@ -180,8 +182,9 @@ def rate_sweep(
                 break
             psnr_list = [psnr(gop.x_ge[0, i], video_gt[i]) for i in range(num_frames_total)]
             lpips_list = [
-                float(lpips_metric(gop.x_ge[0, i : i + 1], video_gt[i : i + 1])[0])
-                for i in range(num_frames_total)
+                float(v) for v in np.asarray(
+                    lpips_metric(gop.x_ge[0], video_gt[:num_frames_total])
+                )
             ]
             if fvd_metric is not None:
                 # videos repeated x2 for a batch >= 2 (city_sender.py:577-579)
