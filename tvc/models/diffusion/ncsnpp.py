@@ -274,10 +274,16 @@ class UNetMoreDDPM(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        arch = self.cfg.model.arch
         if self.cfg.model.spade:
             from tvc.models.diffusion.spade import SPADENCSNpp
 
             self.unet = SPADENCSNpp(cfg=self.cfg, dtype=self.dtype, name="unet")
+        elif arch in ("unetmore3d", "unetmorepseudo3d"):
+            from tvc.models.diffusion.ncsnpp3d import NCSNpp3D
+
+            self.unet = NCSNpp3D(cfg=self.cfg, pseudo3d=(arch == "unetmorepseudo3d"),
+                                 dtype=self.dtype, name="unet")
         else:
             self.unet = NCSNpp(spec=NCSNppSpec.from_config(self.cfg), dtype=self.dtype, name="unet")
         sched = make_schedule(self.cfg)

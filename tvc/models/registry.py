@@ -43,11 +43,6 @@ def create_model(cfg: Config, dtype=jnp.float32):
     if arch in ("unetmore", "unetmore3d", "unetmorepseudo3d"):
         from tvc.models.diffusion.ncsnpp import UNetMoreDDPM
 
-        if arch != "unetmore":
-            raise NotImplementedError(
-                f"{arch}: 3D archs assemble from tvc.models.diffusion.layers3d; "
-                "the shipped benchmark config is 2D (configs/mine.yml arch: unetmore)"
-            )
         return UNetMoreDDPM(cfg=cfg, dtype=dtype)
     if arch == "unet":
         from tvc.models.diffusion.unet_legacy import UNetDDPM, UNetSMLD
