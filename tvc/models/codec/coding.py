@@ -37,6 +37,58 @@ def _to_clast(x: np.ndarray) -> np.ndarray:
     return np.transpose(x, (0, 2, 3, 1))
 
 
+_STAGE_CACHE: Dict[Tuple, dict] = {}
+
+
+def _stage_fns(m: ELICModel) -> dict:
+    """Jitted stage programs, shared across ELICCoder instances with the same
+    architecture (the reference loads 6 quality checkpoints of ONE model,
+    city_sender.py:478-484 — weights are jit arguments, so all six coders hit
+    the same compiled programs)."""
+    key = (m.N, m.M, tuple(m.groups), str(m.dtype))
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+
+    def _enc(v, x):
+        return m.apply(v, x, method=ELICModel.encode_transforms)
+
+    def _hyp(v, z_hat):
+        return m.apply(v, z_hat, method=ELICModel.hyper_params)
+
+    def _syn(v, y_hat):
+        return m.apply(v, y_hat, method=ELICModel.synthesize)
+
+    phase1, phase2 = [], []
+    for i in range(m.num_slices):
+        def p1(v, y_hat_first, y_hat_prev, lm, ls, _i=i):
+            sup = m.apply(v, _i, y_hat_first, y_hat_prev, lm, ls,
+                          method=ELICModel.slice_support)
+            mu_a, sc_a = m.apply(v, _i, sup, method=ELICModel.anchor_params)
+            return sup, cb.pack_anchor(mu_a), cb.pack_anchor(sc_a)
+
+        def p2(v, packed_anchor_q, sup, _i=i):
+            y_anchor_dec = cb.unpack_anchor(packed_anchor_q)
+            mu_n, sc_n = m.apply(v, _i, y_anchor_dec, sup,
+                                 method=ELICModel.nonanchor_params)
+            return y_anchor_dec, cb.pack_nonanchor(mu_n), cb.pack_nonanchor(sc_n)
+
+        phase1.append(jax.jit(p1))
+        phase2.append(jax.jit(p2))
+
+    fns = {
+        "enc": jax.jit(_enc),
+        "hyp": jax.jit(_hyp),
+        "syn": jax.jit(_syn),
+        "phase1": phase1,
+        "phase2": phase2,
+        "pack_anchor": jax.jit(cb.pack_anchor),
+        "pack_nonanchor": jax.jit(cb.pack_nonanchor),
+        "unpack_nonanchor": jax.jit(cb.unpack_nonanchor),
+    }
+    _STAGE_CACHE[key] = fns
+    return fns
+
+
 class ELICCoder:
     """Binds an ELICModel + variables to host entropy coders."""
 
@@ -47,50 +99,19 @@ class ELICCoder:
             jax.tree_util.tree_map(np.asarray, variables["params"]["entropy_bottleneck"])
         )
         self.gc = GaussianCoder()
-        m = model
-
-        # params are explicit jit args (closing over them embeds the weight
-        # tree as program constants and slows compilation drastically)
-        def _enc(v, x):
-            return m.apply(v, x, method=ELICModel.encode_transforms)
-
-        def _hyp(v, z_hat):
-            return m.apply(v, z_hat, method=ELICModel.hyper_params)
-
-        def _syn(v, y_hat):
-            return m.apply(v, y_hat, method=ELICModel.synthesize)
-
-        _enc_j = jax.jit(_enc)
-        _hyp_j = jax.jit(_hyp)
-        _syn_j = jax.jit(_syn)
-        self._encode_transforms = lambda x: _enc_j(self.variables, x)
-        self._hyper = lambda z: _hyp_j(self.variables, z)
-        self._synth = lambda y: _syn_j(self.variables, y)
-
-        # per-slice stage closures (static slice index via Python closure)
-        self._phase1 = []
-        self._phase2 = []
-        for i in range(m.num_slices):
-            def phase1(v, y_hat_first, y_hat_prev, lm, ls, _i=i):
-                sup = m.apply(v, _i, y_hat_first, y_hat_prev, lm, ls,
-                              method=ELICModel.slice_support)
-                mu_a, sc_a = m.apply(v, _i, sup, method=ELICModel.anchor_params)
-                return sup, cb.pack_anchor(mu_a), cb.pack_anchor(sc_a)
-
-            def phase2(v, packed_anchor_q, sup, _i=i):
-                y_anchor_dec = cb.unpack_anchor(packed_anchor_q)
-                mu_n, sc_n = m.apply(v, _i, y_anchor_dec, sup,
-                                     method=ELICModel.nonanchor_params)
-                return y_anchor_dec, cb.pack_nonanchor(mu_n), cb.pack_nonanchor(sc_n)
-
-            p1j = jax.jit(phase1)
-            p2j = jax.jit(phase2)
-            self._phase1.append(lambda *a, _f=p1j: _f(self.variables, *a))
-            self._phase2.append(lambda *a, _f=p2j: _f(self.variables, *a))
-
-        self._pack_anchor = jax.jit(cb.pack_anchor)
-        self._pack_nonanchor = jax.jit(cb.pack_nonanchor)
-        self._unpack_nonanchor = jax.jit(cb.unpack_nonanchor)
+        fns = _stage_fns(model)
+        self._encode_transforms = lambda x: fns["enc"](self.variables, x)
+        self._hyper = lambda z: fns["hyp"](self.variables, z)
+        self._synth = lambda y: fns["syn"](self.variables, y)
+        self._phase1 = [
+            (lambda *a, _f=f: _f(self.variables, *a)) for f in fns["phase1"]
+        ]
+        self._phase2 = [
+            (lambda *a, _f=f: _f(self.variables, *a)) for f in fns["phase2"]
+        ]
+        self._pack_anchor = fns["pack_anchor"]
+        self._pack_nonanchor = fns["pack_nonanchor"]
+        self._unpack_nonanchor = fns["unpack_nonanchor"]
 
     # ---------------- compress ----------------
 
