@@ -177,6 +177,18 @@ def test_registry():
     assert s.shape == x.shape
 
 
+@pytest.mark.slow
+def test_inception_v3_features():
+    from tvc.models.inception import FIDInceptionFeatures
+
+    f = FIDInceptionFeatures(batch_size=2)
+    assert not f.calibrated
+    imgs = RNG.rand(2, 64, 64, 3).astype(np.float32)
+    feats = f(imgs)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(feats).all()
+
+
 def test_fused_leaky_relu():
     from tvc.ops.fused_act import fused_leaky_relu
 
