@@ -2,10 +2,18 @@
 
 Implements the real `compress`/`decompress` of the reference
 (Network.py:336-441, 444-532): hyperprior z through the factorized coder, then
-per-slice two-phase checkerboard coding through the Gaussian coder. All neural
-stages run as cached jitted closures on the device; only quantized symbols and
-(means, scales) tables cross to the host C++ rANS coder, packed to dense
-H x (W/2) tensors exactly like the reference (Network.py:387-397).
+per-slice two-phase checkerboard coding through the Gaussian coder.
+
+TPU-first engineering (SURVEY.md §7.3 item 4 — serial-entropy-loop latency):
+- exactly TWO fused device programs per slice (anchor-params, then
+  context+nonanchor-params), with the previous slice's reconstruction and the
+  checkerboard packing folded in;
+- every program returns ONE packed (means ‖ scales) tensor so each step costs
+  a single host fetch; the true-latent checkerboard packing for symbols is one
+  additional up-front call for all slices;
+- stage programs are cached per architecture and take the weight tree as an
+  explicit argument, so the reference's 6 quality checkpoints
+  (city_sender.py:478-484) share compilations.
 
 Stream-order note: symbols are flattened in (C, H, W/2) channel-major order,
 matching the reference's torch NCHW C-order flatten, so streams are layout-
@@ -41,36 +49,57 @@ _STAGE_CACHE: Dict[Tuple, dict] = {}
 
 
 def _stage_fns(m: ELICModel) -> dict:
-    """Jitted stage programs, shared across ELICCoder instances with the same
-    architecture (the reference loads 6 quality checkpoints of ONE model,
-    city_sender.py:478-484 — weights are jit arguments, so all six coders hit
-    the same compiled programs)."""
     key = (m.N, m.M, tuple(m.groups), str(m.dtype))
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
 
     def _enc(v, x):
-        return m.apply(v, x, method=ELICModel.encode_transforms)
+        """g_a + h_a + checkerboard-pack the latents for symbol extraction.
+
+        Returns (y, z, packed) where packed = [anchor(y) ‖ nonanchor(y)] in
+        packed H x W/2 layout — one host fetch covers all slices' symbols."""
+        y, z = m.apply(v, x, method=ELICModel.encode_transforms)
+        packed = jnp.concatenate([cb.pack_anchor(y), cb.pack_nonanchor(y)], axis=-1)
+        return y, z, packed
 
     def _hyp(v, z_hat):
         return m.apply(v, z_hat, method=ELICModel.hyper_params)
 
-    def _syn(v, y_hat):
-        return m.apply(v, y_hat, method=ELICModel.synthesize)
+    def _syn(v, anchor_decs, packed_nonanchor_qs):
+        """Reconstruct all slices and synthesize (one device call)."""
+        slices = [
+            a + cb.unpack_nonanchor(p)
+            for a, p in zip(anchor_decs, packed_nonanchor_qs)
+        ]
+        return m.apply(v, jnp.concatenate(slices, axis=-1), method=ELICModel.synthesize)
 
     phase1, phase2 = [], []
     for i in range(m.num_slices):
-        def p1(v, y_hat_first, y_hat_prev, lm, ls, _i=i):
-            sup = m.apply(v, _i, y_hat_first, y_hat_prev, lm, ls,
-                          method=ELICModel.slice_support)
+        def p1(v, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls, _i=i):
+            """Previous-slice reconstruction + support + anchor params.
+
+            Returns (sup, y_hat_first', packed(mu_a ‖ sc_a))."""
+            if _i == 0:
+                sup = m.apply(v, 0, None, None, lm, ls, method=ELICModel.slice_support)
+            else:
+                y_hat_prev = y_anchor_dec_prev + cb.unpack_nonanchor(packed_nonanchor_prev)
+                if _i == 1:
+                    y_hat_first = y_hat_prev
+                sup = m.apply(v, _i, y_hat_first, y_hat_prev, lm, ls,
+                              method=ELICModel.slice_support)
             mu_a, sc_a = m.apply(v, _i, sup, method=ELICModel.anchor_params)
-            return sup, cb.pack_anchor(mu_a), cb.pack_anchor(sc_a)
+            packed = jnp.concatenate([cb.pack_anchor(mu_a), cb.pack_anchor(sc_a)], axis=-1)
+            return sup, y_hat_first, packed
 
         def p2(v, packed_anchor_q, sup, _i=i):
+            """Anchor unpack + masked-conv context + non-anchor params.
+
+            Returns (y_anchor_dec, packed(mu_n ‖ sc_n))."""
             y_anchor_dec = cb.unpack_anchor(packed_anchor_q)
             mu_n, sc_n = m.apply(v, _i, y_anchor_dec, sup,
                                  method=ELICModel.nonanchor_params)
-            return y_anchor_dec, cb.pack_nonanchor(mu_n), cb.pack_nonanchor(sc_n)
+            packed = jnp.concatenate([cb.pack_nonanchor(mu_n), cb.pack_nonanchor(sc_n)], axis=-1)
+            return y_anchor_dec, packed
 
         phase1.append(jax.jit(p1))
         phase2.append(jax.jit(p2))
@@ -81,9 +110,6 @@ def _stage_fns(m: ELICModel) -> dict:
         "syn": jax.jit(_syn),
         "phase1": phase1,
         "phase2": phase2,
-        "pack_anchor": jax.jit(cb.pack_anchor),
-        "pack_nonanchor": jax.jit(cb.pack_nonanchor),
-        "unpack_nonanchor": jax.jit(cb.unpack_nonanchor),
     }
     _STAGE_CACHE[key] = fns
     return fns
@@ -99,19 +125,27 @@ class ELICCoder:
             jax.tree_util.tree_map(np.asarray, variables["params"]["entropy_bottleneck"])
         )
         self.gc = GaussianCoder()
-        fns = _stage_fns(model)
-        self._encode_transforms = lambda x: fns["enc"](self.variables, x)
-        self._hyper = lambda z: fns["hyp"](self.variables, z)
-        self._synth = lambda y: fns["syn"](self.variables, y)
-        self._phase1 = [
-            (lambda *a, _f=f: _f(self.variables, *a)) for f in fns["phase1"]
-        ]
-        self._phase2 = [
-            (lambda *a, _f=f: _f(self.variables, *a)) for f in fns["phase2"]
-        ]
-        self._pack_anchor = fns["pack_anchor"]
-        self._pack_nonanchor = fns["pack_nonanchor"]
-        self._unpack_nonanchor = fns["unpack_nonanchor"]
+        self._fns = _stage_fns(model)
+
+    # ---------------- helpers ----------------
+
+    def _split_params(self, packed: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(B,H,W2, 2n) -> channel-first (mu, sc) each (B,n,H,W2)."""
+        mu = _to_cfirst(packed[..., :n])
+        sc = _to_cfirst(packed[..., n:])
+        return mu, sc
+
+    def _code_phase(self, y_packed_cf: np.ndarray, mu_cf: np.ndarray, sc_cf: np.ndarray):
+        """GC encode one phase; returns (strings, decoded values clast).
+
+        The decoded values are round(y - mu) + mu by the coder's contract
+        (GaussianCoder.decompress == quantize-dequantize; asserted by
+        test_gaussian_coder_roundtrip), so the encoder computes them directly
+        instead of running the rANS decoder on its own stream."""
+        idx = self.gc.build_indexes(sc_cf)
+        strings = self.gc.compress(y_packed_cf, idx, mu_cf)
+        decoded = np.round(y_packed_cf - mu_cf).astype(np.float32) + np.asarray(mu_cf, np.float32)
+        return strings, jnp.asarray(_to_clast(decoded))
 
     # ---------------- compress ----------------
 
@@ -120,58 +154,55 @@ class ELICCoder:
 
         return_recon=True also synthesizes x_hat from the compress-side decoded
         latents — identical to decompress() by construction (the encoder feeds
-        its own decoded symbols forward, Network.py:401,427; equality is
-        asserted in tests) at ~half the device round-trips. This is the sender
-        fast path; the receiver still uses decompress()."""
+        its own decoded symbols forward, Network.py:401,427; equality asserted
+        in tests) at ~half the device round-trips. Sender fast path; the
+        receiver uses decompress()."""
+        v = self.variables
+        fns = self._fns
+        groups = self.model.groups
         t0 = time.time()
-        y, z = self._encode_transforms(jnp.asarray(x, jnp.float32))
-        y.block_until_ready()
+        y, z, y_packed = fns["enc"](v, jnp.asarray(x, jnp.float32))
+        z_np = np.asarray(z)
+        y_packed_np = np.asarray(y_packed)
         t_enc = time.time() - t0
 
-        z_np = np.asarray(z)
         t0 = time.time()
         z_strings = self.fb.compress(z_np)
         z_hat = self.fb.decompress(z_strings, z_np.shape[1:3])
         t_z = time.time() - t0
 
         t0 = time.time()
-        lm, ls = self._hyper(jnp.asarray(z_hat))
+        lm, ls = fns["hyp"](v, jnp.asarray(z_hat))
         t_zdec = time.time() - t0
 
-        splits = np.cumsum(self.model.groups)[:-1]
-        y_slices = jnp.split(y, splits, axis=-1)
+        M = sum(groups)
+        anchors_np = y_packed_np[..., :M]
+        nonanchors_np = y_packed_np[..., M:]
+        offs = np.concatenate([[0], np.cumsum(groups)])
 
         t0 = time.time()
         y_strings: List[List[List[bytes]]] = []
-        y_hat_slices: List[Any] = []
-        y_hat_first = y_hat_prev = None
+        anchor_decs: List[jax.Array] = []
+        nonanchor_qs: List[jax.Array] = []
+        y_hat_first = None
+        y_anchor_dec_prev = packed_nonanchor_prev = None
         for i in range(self.model.num_slices):
-            sup, mu_a_p, sc_a_p = self._phase1[i](y_hat_first, y_hat_prev, lm, ls)
-            ya_p = self._pack_anchor(y_slices[i])
-
-            mu_a_np = _to_cfirst(np.asarray(mu_a_p))
-            sc_a_np = _to_cfirst(np.asarray(sc_a_p))
-            idx_a = self.gc.build_indexes(sc_a_np)
-            anchor_strings = self.gc.compress(_to_cfirst(np.asarray(ya_p)), idx_a, mu_a_np)
-            anchor_q = self.gc.decompress(anchor_strings, idx_a, mu_a_np)
-
-            y_anchor_dec, mu_n_p, sc_n_p = self._phase2[i](
-                jnp.asarray(_to_clast(anchor_q)), sup
+            sup, y_hat_first, pa = fns["phase1"][i](
+                v, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
             )
-            yn_p = self._pack_nonanchor(y_slices[i])
-            mu_n_np = _to_cfirst(np.asarray(mu_n_p))
-            sc_n_np = _to_cfirst(np.asarray(sc_n_p))
-            idx_n = self.gc.build_indexes(sc_n_np)
-            non_anchor_strings = self.gc.compress(_to_cfirst(np.asarray(yn_p)), idx_n, mu_n_np)
-            non_anchor_q = self.gc.decompress(non_anchor_strings, idx_n, mu_n_np)
+            mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
+            ya_cf = _to_cfirst(anchors_np[..., offs[i] : offs[i + 1]])
+            anchor_strings, anchor_q = self._code_phase(ya_cf, mu_a, sc_a)
 
-            y_hat_slice = y_anchor_dec + self._unpack_nonanchor(
-                jnp.asarray(_to_clast(non_anchor_q))
-            )
-            if i == 0:
-                y_hat_first = y_hat_slice
-            y_hat_prev = y_hat_slice
-            y_hat_slices.append(y_hat_slice)
+            y_anchor_dec, pn = fns["phase2"][i](v, anchor_q, sup)
+            mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
+            yn_cf = _to_cfirst(nonanchors_np[..., offs[i] : offs[i + 1]])
+            non_anchor_strings, non_anchor_q = self._code_phase(yn_cf, mu_n, sc_n)
+
+            y_anchor_dec_prev = y_anchor_dec
+            packed_nonanchor_prev = non_anchor_q
+            anchor_decs.append(y_anchor_dec)
+            nonanchor_qs.append(non_anchor_q)
             y_strings.append([anchor_strings, non_anchor_strings])
         t_params = time.time() - t0
 
@@ -182,7 +213,7 @@ class ELICCoder:
         }
         if return_recon:
             t0 = time.time()
-            x_hat = self._synth(jnp.concatenate(y_hat_slices, axis=-1))
+            x_hat = fns["syn"](v, anchor_decs, nonanchor_qs)
             out["x_hat"] = np.asarray(x_hat)
             out["time"]["y_dec"] = time.time() - t0
         return out
@@ -191,39 +222,39 @@ class ELICCoder:
 
     def decompress(self, strings, shape: Tuple[int, int]) -> Dict[str, Any]:
         """Mirror of compress driven only by the bitstreams (Network.py:444-532)."""
+        v = self.variables
+        fns = self._fns
+        groups = self.model.groups
         y_strings, z_strings = strings
         z_hat = self.fb.decompress(z_strings, shape)
-        lm, ls = self._hyper(jnp.asarray(z_hat))
+        lm, ls = fns["hyp"](v, jnp.asarray(z_hat))
 
-        y_hat_slices = []
-        y_hat_first = y_hat_prev = None
+        anchor_decs: List[jax.Array] = []
+        nonanchor_qs: List[jax.Array] = []
+        y_hat_first = None
+        y_anchor_dec_prev = packed_nonanchor_prev = None
         for i in range(self.model.num_slices):
-            sup, mu_a_p, sc_a_p = self._phase1[i](y_hat_first, y_hat_prev, lm, ls)
-            mu_a_np = _to_cfirst(np.asarray(mu_a_p))
-            sc_a_np = _to_cfirst(np.asarray(sc_a_p))
-            idx_a = self.gc.build_indexes(sc_a_np)
-            anchor_q = self.gc.decompress(y_strings[i][0], idx_a, mu_a_np)
-
-            y_anchor_dec, mu_n_p, sc_n_p = self._phase2[i](
-                jnp.asarray(_to_clast(anchor_q)), sup
+            sup, y_hat_first, pa = fns["phase1"][i](
+                v, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
             )
-            mu_n_np = _to_cfirst(np.asarray(mu_n_p))
-            sc_n_np = _to_cfirst(np.asarray(sc_n_p))
-            idx_n = self.gc.build_indexes(sc_n_np)
-            non_anchor_q = self.gc.decompress(y_strings[i][1], idx_n, mu_n_np)
+            mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
+            idx_a = self.gc.build_indexes(sc_a)
+            anchor_q = jnp.asarray(_to_clast(self.gc.decompress(y_strings[i][0], idx_a, mu_a)))
 
-            y_hat_slice = y_anchor_dec + self._unpack_nonanchor(
-                jnp.asarray(_to_clast(non_anchor_q))
+            y_anchor_dec, pn = fns["phase2"][i](v, anchor_q, sup)
+            mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
+            idx_n = self.gc.build_indexes(sc_n)
+            non_anchor_q = jnp.asarray(
+                _to_clast(self.gc.decompress(y_strings[i][1], idx_n, mu_n))
             )
-            if i == 0:
-                y_hat_first = y_hat_slice
-            y_hat_prev = y_hat_slice
-            y_hat_slices.append(y_hat_slice)
 
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+            y_anchor_dec_prev = y_anchor_dec
+            packed_nonanchor_prev = non_anchor_q
+            anchor_decs.append(y_anchor_dec)
+            nonanchor_qs.append(non_anchor_q)
+
         t0 = time.time()
-        x_hat = self._synth(y_hat)
-        x_hat.block_until_ready()
+        x_hat = fns["syn"](v, anchor_decs, nonanchor_qs)
         return {"x_hat": np.asarray(x_hat), "time": {"y_dec": time.time() - t0}}
 
 
