@@ -177,6 +177,27 @@ def test_registry():
     assert s.shape == x.shape
 
 
+def test_i3d_tf_name_conversion():
+    from tvc.models.i3d import convert_tf_name, tf_vars_to_state_dict
+
+    assert convert_tf_name("RGB/inception_i3d/Conv3d_1a_7x7/conv_3d/w:0".replace(
+        "RGB/inception_i3d/", "")) == "Conv3d_1a_7x7.conv3d.weight"
+    assert convert_tf_name("Mixed_3b/Branch_0/Conv3d_0a_1x1/batch_norm/beta:0") == \
+        "Mixed_3b.b0.bn.bias"
+    assert convert_tf_name("Mixed_3b/Branch_1/Conv3d_0b_3x3/conv_3d/w:0") == \
+        "Mixed_3b.b1b.conv3d.weight"
+    # Mixed_5b branch-2 typo special case (convert_tf_pretrained.py:35-41)
+    assert convert_tf_name("Mixed_5b/Branch_2/Conv3d_0a_1x1/conv_3d/w:0") == \
+        "Mixed_5b.b2a.conv3d.weight"
+
+    sd = tf_vars_to_state_dict({
+        "Conv3d_1a_7x7/conv_3d/w:0": np.zeros((7, 7, 7, 3, 64)),
+        "Conv3d_1a_7x7/batch_norm/beta:0": np.zeros((1, 1, 1, 1, 64)),
+    })
+    assert sd["Conv3d_1a_7x7.conv3d.weight"].shape == (64, 3, 7, 7, 7)
+    assert sd["Conv3d_1a_7x7.bn.bias"].shape == (64,)
+
+
 @pytest.mark.slow
 def test_inception_v3_features():
     from tvc.models.inception import FIDInceptionFeatures

@@ -123,6 +123,70 @@ def _convert_unit(params_unit: dict, sd: dict, prefix: str, has_bn: bool = True,
         params_unit["bn_var"] = np.asarray(sd[f"{prefix}.bn.running_var"])
 
 
+def convert_tf_name(name: str) -> str:
+    """TF I3D variable name -> torch-style dotted key (capability parity with
+    models/fvd/convert_tf_pretrained.py:9-61, incl. the Mixed_5b branch-2
+    typo special case)."""
+    mapping = {
+        "conv_3d": "conv3d",
+        "batch_norm": "bn",
+        "w:0": "weight",
+        "b:0": "bias",
+        "moving_mean:0": "running_mean",
+        "moving_variance:0": "running_var",
+        "beta:0": "bias",
+    }
+    segs = name.split("/")
+    out: List[str] = []
+    i = 0
+    while i < len(segs):
+        seg = segs[i]
+        if "Mixed" in seg:
+            out.append(seg)
+        elif "Conv" in seg and "Mixed" not in name:
+            out.append(seg)
+        elif "Branch" in seg:
+            branch_i = int(seg.split("_")[-1])
+            i += 1
+            seg = segs[i]
+            if "Mixed_5b" in name and branch_i == 2:
+                out.append(f"b{branch_i}a" if "1x1" in seg else f"b{branch_i}b")
+            elif "a" in seg:
+                out.append("b0" if branch_i == 0 else f"b{branch_i}a")
+            elif "b" in seg:
+                out.append(f"b{branch_i}b")
+            else:
+                raise ValueError(seg)
+        elif seg == "Logits":
+            out.append("logits")
+            i += 1
+        elif seg in mapping:
+            out.append(mapping[seg])
+        else:
+            raise ValueError(f"no match for {seg} in {name}")
+        i += 1
+    return ".".join(out)
+
+
+def tf_vars_to_state_dict(tf_vars: dict) -> dict:
+    """{tf_name: np.ndarray} -> torch-style state dict (conv (O,I,T,H,W)).
+
+    TF conv weights are (T,H,W,I,O); 1x1x1-spatial 5-D tensors squeeze to 1-D
+    (convert_tf_pretrained.py:64-74). Consumes plain numpy — no tensorflow
+    dependency needed (dump the hub module's variables to npz first)."""
+    sd = {}
+    for name, arr in tf_vars.items():
+        arr = np.asarray(arr)
+        key = convert_tf_name(name)
+        if arr.ndim == 5:
+            if all(s == 1 for s in arr.shape[:-1]):
+                arr = arr.reshape(arr.shape[-1])
+            else:
+                arr = arr.transpose(4, 3, 0, 1, 2)
+        sd[key] = arr
+    return sd
+
+
 def load_i3d_weights(params: dict, state_dict: dict) -> dict:
     """Fill a Flax InceptionI3d param tree from a pytorch_i3d state dict."""
     params = jax.tree_util.tree_map(np.asarray, dict(params))
