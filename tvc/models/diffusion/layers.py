@@ -159,6 +159,7 @@ class AttnBlockpp(nn.Module):
     init_scale: float = 0.0
     n_heads: int = 1
     n_head_channels: int = -1
+    attn_backend: str = "einsum"  # "einsum" | "pallas" (tvc/ops/pallas_attention)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -178,13 +179,24 @@ class AttnBlockpp(nn.Module):
         v = NIN(c, dtype=self.dtype, name="NIN_2")(hx)
 
         ch = c // heads
-        scale = ch ** -0.5
         q = q.reshape(b, h * w, heads, ch)
         k = k.reshape(b, h * w, heads, ch)
         v = v.reshape(b, h * w, heads, ch)
-        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-        wts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhc->bqhc", wts, v, preferred_element_type=jnp.float32)
+        if self.attn_backend == "pallas":
+            from tvc.ops.pallas_attention import attention_pallas
+
+            out = attention_pallas(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3))
+        else:
+            scale = ch ** -0.5
+            logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            wts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhc->bqhc", wts, v, preferred_element_type=jnp.float32)
         out = out.astype(self.dtype).reshape(b, h, w, c)
         out = NIN(c, init_scale=self.init_scale, dtype=self.dtype, name="NIN_3")(out)
         if not self.skip_rescale:
