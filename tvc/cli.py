@@ -137,6 +137,9 @@ def cmd_codec(argv: List[str]) -> int:
     ap.add_argument("--input-npy", required=True, help="(T,H,W,3) or (T,C,H,W) [0,1] frames")
     ap.add_argument("--ckpt", type=str, default=None, help="ELIC checkpoint .pth.tar")
     ap.add_argument("--output-npy", type=str, default=None)
+    ap.add_argument("--entropy-estimation", action="store_true",
+                    help="likelihood-based bpp, no bitstreams (reference "
+                         "city_sender --entropy-estimation)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -159,6 +162,22 @@ def cmd_codec(argv: List[str]) -> int:
     else:
         print("[tvc] WARNING: random codec weights")
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    if args.entropy_estimation:
+        from tvc.models.codec.elic import ELICModel
+        from tvc.pipeline.keyframe import pad_to_multiple
+
+        xp, (pb, pr) = pad_to_multiple(x, cfg.codec.patch)
+        out = model.apply(variables, jnp.asarray(xp), method=ELICModel.inference)
+        bits = -float(jnp.sum(jnp.log2(out["likelihoods"]["y"]))
+                      + jnp.sum(jnp.log2(out["likelihoods"]["z"])))
+        x_hat = np.clip(np.asarray(out["x_hat"]), 0, 1)
+        x_hat = x_hat[:, : xp.shape[1] - pb, : xp.shape[2] - pr, :]
+        bpp = bits / (x.shape[0] * x.shape[1] * x.shape[2])
+        print(f"[entropy-estimation] frames={x.shape[0]} bpp={bpp:.4f} "
+              f"psnr={np.mean([psnr(x[i], x_hat[i]) for i in range(len(x))]):.2f}dB")
+        if args.output_npy:
+            np.save(args.output_npy, x_hat)
+        return 0
     coder = ELICCoder(model, variables)
     x_hat, bits = code_frames(coder, x, cfg.codec.patch)
     bpp = sum(bits) / (x.shape[0] * x.shape[1] * x.shape[2])
