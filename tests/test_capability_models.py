@@ -177,6 +177,22 @@ def test_registry():
     assert s.shape == x.shape
 
 
+def test_grayscale_channels_config():
+    """SMMNIST-style grayscale (channels=1) flows through the UNet
+    (benchmark/fvd_utils/bench_smm.py capability)."""
+    from tvc.models.diffusion.ncsnpp import UNetMoreDDPM
+
+    cfg = tiny_cfg()
+    cfg.data.channels = 1
+    model = UNetMoreDDPM(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 2))     # 2 frames x 1ch
+    cond = jnp.zeros((1, 16, 16, 1))
+    y = jnp.zeros((1,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, y, cond)
+    out = model.apply(params, x, y, cond)
+    assert out.shape == (1, 16, 16, 2)
+
+
 def test_i3d_tf_name_conversion():
     from tvc.models.i3d import convert_tf_name, tf_vars_to_state_dict
 

@@ -100,6 +100,10 @@ def ddpm_sampler(
             jnp.sqrt(1.0 - beta) * (1.0 - a_prev) / (1.0 - a)
         ) * xf
 
+        # trajectory records the PRE-noise state (reference appends before
+        # adding noise, models/__init__.py:294-295 vs :317-330)
+        x_pre = jnp.where(active, x_new.astype(dtype), x)
+
         if same_noise:
             noise = noise_val.astype(jnp.float32)
         elif gamma:
@@ -112,7 +116,7 @@ def ddpm_sampler(
 
         # skip the update entirely until this step becomes active (t_min mode)
         x_out = jnp.where(active, x_new.astype(dtype), x)
-        return (x_out, transformed), (x_out if not final_only else None)
+        return (x_out, transformed), (x_pre if not final_only else None)
 
     init = (x_init, jnp.asarray(False))
     (x, _), traj = jax.lax.scan(body, init, (jnp.arange(L), keys[:L]))
