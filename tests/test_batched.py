@@ -49,6 +49,38 @@ def test_batched_runner_mixed_jobs(setup):
         assert r.bits > 0 and np.isfinite(r.bpp)
 
 
+@pytest.mark.slow
+def test_run_sweep_batched_driver(tmp_path, setup):
+    from tvc.pipeline.driver import run_sweep_batched
+
+    cfg, predictor, coder, lp = setup
+    data = RNG.rand(2, 8, 64, 64, 3).astype(np.float32)
+    res = run_sweep_batched(
+        cfg, data, {4: coder}, predictor, str(tmp_path / "out"),
+        start_idx=0, end_idx=1, qualities=[4], thresholds=[1e9, 0.2],
+        batch_size=4, with_fvd=False, lpips_metric=lp,
+    )
+    assert set(res.keys()) <= {0, 1}
+    total_points = sum(len(v) for v in res.values())
+    assert total_points >= 1
+    # multi-process partition covers the same jobs disjointly
+    res0 = run_sweep_batched(
+        cfg, data, {4: coder}, predictor, str(tmp_path / "out0"),
+        start_idx=0, end_idx=1, qualities=[4], thresholds=[1e9, 0.2],
+        batch_size=4, with_fvd=False, lpips_metric=lp,
+        num_processes=2, process_id=0,
+    )
+    res1 = run_sweep_batched(
+        cfg, data, {4: coder}, predictor, str(tmp_path / "out1"),
+        start_idx=0, end_idx=1, qualities=[4], thresholds=[1e9, 0.2],
+        batch_size=4, with_fvd=False, lpips_metric=lp,
+        num_processes=2, process_id=1,
+    )
+    n0 = sum(len(v) for v in res0.values())
+    n1 = sum(len(v) for v in res1.values())
+    assert n0 + n1 == total_points
+
+
 def test_batched_runner_smaller_batch_than_jobs(setup):
     cfg, predictor, coder, lp = setup
     videos = RNG.rand(3, 8, 64, 64, 3).astype(np.float32)

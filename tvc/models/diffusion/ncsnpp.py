@@ -50,6 +50,7 @@ class NCSNppSpec:
     n_head_channels: int = 192
     dropout: float = 0.0
     time_conditional: bool = True
+    cond_emb: bool = False  # binary cond-mask embedding (ncsnpp_more.py:97-99)
     skip_rescale: bool = True
     num_classes: int = 1000
 
@@ -71,6 +72,7 @@ class NCSNppSpec:
             n_head_channels=cfg.model.n_head_channels,
             dropout=cfg.model.dropout,
             time_conditional=cfg.model.time_conditional,
+            cond_emb=cfg.model.cond_emb,
             num_classes=cfg.model.num_classes,
         )
 
@@ -85,6 +87,8 @@ def _build_plan(spec: NCSNppSpec) -> List[dict]:
     if spec.time_conditional:
         plan.append({"kind": "dense", "out": nf * 4})
         plan.append({"kind": "dense", "out": nf * 4})
+        if spec.cond_emb:
+            plan.append({"kind": "embed", "num": 2, "dim": nf // 2})
 
     plan.append({"kind": "conv3", "out": nf})
     hs_c = [nf]
@@ -153,6 +157,8 @@ class NCSNpp(nn.Module):
                         dropout=self.spec.dropout, dtype=self.dtype, name=name,
                     )
                 )
+            elif p["kind"] == "embed":
+                mods.append(nn.Embed(p["num"], p["dim"], dtype=self.dtype, name=name))
             elif p["kind"] == "attn":
                 mods.append(
                     AttnBlockpp(channels=p["ch"], skip_rescale=True, init_scale=0.0,
@@ -164,7 +170,8 @@ class NCSNpp(nn.Module):
                 raise ValueError(p["kind"])
         self._mods = mods
 
-    def __call__(self, x: jax.Array, time_cond: jax.Array, cond: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, time_cond: jax.Array, cond: Optional[jax.Array] = None,
+                 cond_mask: Optional[jax.Array] = None) -> jax.Array:
         """x: (B, H, W, C*num_frames) noise; cond: (B, H, W, C*num_frames_cond).
 
         time_cond: (B,) integer diffusion step labels.
@@ -185,6 +192,12 @@ class NCSNpp(nn.Module):
             m_idx += 1
             temb = mods[m_idx](nn.silu(temb))
             m_idx += 1
+            if spec.cond_emb:
+                # binary mask embedding concatenated to temb (ncsnpp_more.py:282-285)
+                if cond_mask is None:
+                    cond_mask = jnp.ones((x.shape[0],), jnp.int32)
+                temb = jnp.concatenate([temb, mods[m_idx](cond_mask.astype(jnp.int32))], axis=1)
+                m_idx += 1
         else:
             temb = None
 
@@ -294,4 +307,4 @@ class UNetMoreDDPM(nn.Module):
             used = self.alphas[y].reshape((cond.shape[0],) + (1,) * (cond.ndim - 1))
             z = jax.random.normal(self.make_rng("noise"), cond.shape, cond.dtype)
             cond = jnp.sqrt(used) * cond + jnp.sqrt(1.0 - used) * z
-        return self.unet(x, y, cond)
+        return self.unet(x, y, cond, cond_mask=cond_mask)

@@ -86,6 +86,8 @@ def convert_unet_state_dict(cfg: Config, sd: Dict[str, Any]) -> Dict[str, Any]:
         kind = p["kind"]
         if kind == "dense":
             unet[f"m{i}"] = _dense(sd, key)
+        elif kind == "embed":
+            unet[f"m{i}"] = {"embedding": _np(sd[f"{key}.weight"])}
         elif kind == "conv3":
             unet[f"m{i}"] = {"conv": _conv(sd, key)}
         elif kind == "attn":
