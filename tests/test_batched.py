@@ -17,19 +17,8 @@ from tests.test_pipeline import tiny_cfg
 RNG = np.random.RandomState(21)
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = tiny_cfg()
-    predictor = FramePredictor.create(cfg)
-    codec = ELICModel(N=16, M=24, groups=(4, 4, 4, 4, 8))
-    variables = codec.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    coder = ELICCoder(codec, variables)
-    lp = LPIPSMetric.create()
-    return cfg, predictor, coder, lp
-
-
-def test_batched_runner_mixed_jobs(setup):
-    cfg, predictor, coder, lp = setup
+def test_batched_runner_mixed_jobs(tiny_pipeline):
+    cfg, predictor, coder, lp = tiny_pipeline
     videos = RNG.rand(3, 10, 64, 64, 3).astype(np.float32)
     jobs = [
         GOPJob(video=videos[0], threshold=1e9, quality=4, num_frames_total=8),
@@ -50,10 +39,10 @@ def test_batched_runner_mixed_jobs(setup):
 
 
 @pytest.mark.slow
-def test_run_sweep_batched_driver(tmp_path, setup):
+def test_run_sweep_batched_driver(tmp_path, tiny_pipeline):
     from tvc.pipeline.driver import run_sweep_batched
 
-    cfg, predictor, coder, lp = setup
+    cfg, predictor, coder, lp = tiny_pipeline
     data = RNG.rand(2, 8, 64, 64, 3).astype(np.float32)
     res = run_sweep_batched(
         cfg, data, {4: coder}, predictor, str(tmp_path / "out"),
@@ -81,8 +70,8 @@ def test_run_sweep_batched_driver(tmp_path, setup):
     assert n0 + n1 == total_points
 
 
-def test_batched_runner_smaller_batch_than_jobs(setup):
-    cfg, predictor, coder, lp = setup
+def test_batched_runner_smaller_batch_than_jobs(tiny_pipeline):
+    cfg, predictor, coder, lp = tiny_pipeline
     videos = RNG.rand(3, 8, 64, 64, 3).astype(np.float32)
     jobs = [GOPJob(video=v, threshold=1e9, quality=4, num_frames_total=6) for v in videos]
     runner = BatchedGOPRunner(cfg, predictor, {4: coder}, lpips=lp, batch_size=2)

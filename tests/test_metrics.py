@@ -99,6 +99,26 @@ def test_fvd_plumbing():
     assert m(v1, v1) < 1e-6
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("TVC_I3D_CKPT"),
+    reason="golden FVD needs real I3D weights (set TVC_I3D_CKPT=/path/to/i3d.pt)",
+)
+def test_fvd_golden_zeros_vs_ones():
+    """Known-answer FVD: all-zeros vs all-ones 30-frame clips = 151.17
+    (fvd_utils/README.md; SURVEY.md §4). Only runs with converted weights."""
+    import os
+
+    import torch
+
+    sd = torch.load(os.environ["TVC_I3D_CKPT"], map_location="cpu")
+    m = FVDMetric(sd)
+    assert m.calibrated
+    v0 = np.zeros((8, 30, 64, 64, 3), np.float32)
+    v1 = np.ones((8, 30, 64, 64, 3), np.float32)
+    fvd = m(v0, v1)
+    assert abs(fvd - 151.17) < 5.0, fvd
+
+
 def test_rd_envelopes():
     # synthetic monotone RD curve plus dominated points
     bpps = [0.1, 0.2, 0.4, 0.8, 0.3, 0.5]

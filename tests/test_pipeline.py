@@ -37,17 +37,6 @@ def tiny_cfg():
     return cfg
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = tiny_cfg()
-    predictor = FramePredictor.create(cfg)
-    codec = ELICModel(N=16, M=24, groups=(4, 4, 4, 4, 8))
-    variables = codec.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    coder = ELICCoder(codec, variables)
-    lp = LPIPSMetric.create()
-    return cfg, predictor, coder, lp
-
-
 def test_transforms_roundtrip():
     cfg = tiny_cfg()
     x = jnp.asarray(RNG.rand(2, 4, 4, 3).astype(np.float32))
@@ -72,8 +61,8 @@ def test_stack_frames_layout():
     np.testing.assert_allclose(s[0, :, :, 3:], f[0, 1])
 
 
-def test_predictor_generates_frames(setup):
-    cfg, predictor, _, _ = setup
+def test_predictor_generates_frames(tiny_pipeline):
+    cfg, predictor, _, _ = tiny_pipeline
     cond = jnp.asarray(RNG.rand(1, 64, 64, 6).astype(np.float32))
     out = predictor.generate(jax.random.PRNGKey(0), cond)
     assert out.shape == (1, 3, 64, 64, 3)
@@ -81,17 +70,17 @@ def test_predictor_generates_frames(setup):
     assert o.min() >= 0 and o.max() <= 1
 
 
-def test_code_frames_bits(setup):
-    cfg, _, coder, _ = setup
+def test_code_frames_bits(tiny_pipeline):
+    cfg, _, coder, _ = tiny_pipeline
     frames = RNG.rand(2, 64, 64, 3).astype(np.float32)
     dec, bits = code_frames(coder, frames, 64)
     assert dec.shape == frames.shape
     assert len(bits) == 2 and all(b > 0 for b in bits)
 
 
-def test_gop_accepts_with_loose_threshold(setup):
+def test_gop_accepts_with_loose_threshold(tiny_pipeline):
     """threshold=inf accepts every predicted frame: 2 keyframes + generated."""
-    cfg, predictor, coder, lp = setup
+    cfg, predictor, coder, lp = tiny_pipeline
     video = RNG.rand(12, 64, 64, 3).astype(np.float32)
     sender = Sender(threshold=1e9, cfg=cfg, predictor=predictor, lpips=lp)
     gop = run_gop(sender, coder, video, jax.random.PRNGKey(0), num_frames_total=8, patch=64)
@@ -101,9 +90,9 @@ def test_gop_accepts_with_loose_threshold(setup):
     assert gop.bits > 0
 
 
-def test_gop_fallback_with_strict_threshold(setup):
+def test_gop_fallback_with_strict_threshold(tiny_pipeline):
     """threshold=-1 (LPIPS <= -1 impossible) forces all-transmit fallback."""
-    cfg, predictor, coder, lp = setup
+    cfg, predictor, coder, lp = tiny_pipeline
     video = RNG.rand(12, 64, 64, 3).astype(np.float32)
     sender = Sender(threshold=-1.0, cfg=cfg, predictor=predictor, lpips=lp)
     gop = run_gop(sender, coder, video, jax.random.PRNGKey(0), num_frames_total=8, patch=64)
@@ -111,8 +100,8 @@ def test_gop_fallback_with_strict_threshold(setup):
     assert gop.x_ge.shape[1] == 8
 
 
-def test_psnr_decision_mode(setup):
-    cfg, predictor, coder, lp = setup
+def test_psnr_decision_mode(tiny_pipeline):
+    cfg, predictor, coder, lp = tiny_pipeline
     video = RNG.rand(8, 64, 64, 3).astype(np.float32)
     # PSNR >= -inf always true -> all frames accepted
     sender = Sender(threshold=-1e9, cfg=cfg, predictor=predictor, lpips=lp, use_psnr=True)
@@ -121,10 +110,10 @@ def test_psnr_decision_mode(setup):
 
 
 @pytest.mark.slow
-def test_driver_run_sweep(tmp_path, setup):
+def test_driver_run_sweep(tmp_path, tiny_pipeline):
     from tvc.pipeline.driver import run_sweep
 
-    cfg, predictor, coder, lp = setup
+    cfg, predictor, coder, lp = tiny_pipeline
     data = RNG.rand(1, 10, 3, 64, 64).astype(np.float32) * 255
     np.save(tmp_path / "data.npy", data)
     from tvc.pipeline.driver import load_dataset

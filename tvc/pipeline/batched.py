@@ -80,6 +80,10 @@ class BatchedGOPRunner:
         cfg = self.cfg
         nc = cfg.data.num_frames_cond
         n_pred = cfg.data.num_frames
+        for job in jobs:
+            assert job.video.shape[0] >= job.num_frames_total, (
+                "video shorter than num_frames_total: chain cannot terminate"
+            )
         t0 = time.time()
 
         # initial keyframes, batched per quality across jobs

@@ -172,6 +172,7 @@ def rate_sweep(
         thresholds = [round(t, 2) for t in np.arange(0.30, 0.02, -0.01)]
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     points: List[RatePoint] = []
+    verbose = True
     for q in qualities:
         coder = coders[q]
         for rho in thresholds:
@@ -200,4 +201,12 @@ def rate_sweep(
             ))
             if artifact_cb is not None:
                 artifact_cb(int(q), float(rho), gop.x_ge[0])
+            if verbose:
+                # console report mirroring the reference (city_sender.py:552-595)
+                d_list = [int(v) for v in gop.d[0]]
+                print(f"q={q} rho={rho:.2f}  d: {d_list}")
+                print(f"  BPP: {gop.bpp:.5f}  FVD: {fvd_val:.2f}  "
+                      f"PSNR: {np.mean(psnr_list):.3f}  LPIPS: {np.mean(lpips_list):.5f}  "
+                      f"({int(np.sum(d_list))} transmitted, {gop.n_updates} updates, "
+                      f"{gop.wall_time:.1f}s)")
     return points
