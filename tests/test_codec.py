@@ -120,6 +120,18 @@ def test_decompress_is_deterministic(model_and_vars):
     np.testing.assert_array_equal(d1["x_hat"], d2["x_hat"])
 
 
+def test_nonsquare_frames(model_and_vars):
+    """Asymmetric H x W through the full bitstream path (checkerboard packing
+    and stream order must handle W != H)."""
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables)
+    x = RNG.rand(1, 64, 128, 3).astype(np.float32)
+    enc = coder.compress(x, return_recon=True)
+    dec = coder.decompress(enc["strings"], enc["shape"])
+    assert dec["x_hat"].shape == (1, 64, 128, 3)
+    np.testing.assert_allclose(enc["x_hat"], dec["x_hat"], atol=1e-6)
+
+
 def test_batch_compress(model_and_vars):
     model, variables = model_and_vars
     coder = ELICCoder(model, variables)

@@ -119,6 +119,54 @@ def test_rans_compression_efficiency():
     assert bits / n < 3.5
 
 
+def test_rans_empty_and_single_symbol():
+    cdfs, cdf_lengths, offsets = make_gaussian_cdfs()
+    enc, dec = RansEncoder(), RansDecoder()
+    data = enc.encode_with_indexes([], [], cdfs, cdf_lengths, offsets)
+    assert len(data) == 8  # flush-only
+    out = dec.decode_with_indexes(data, [], cdfs, cdf_lengths, offsets)
+    assert out.size == 0
+    data1 = enc.encode_with_indexes([3], [0], cdfs, cdf_lengths, offsets)
+    out1 = dec.decode_with_indexes(data1, [0], cdfs, cdf_lengths, offsets)
+    np.testing.assert_array_equal(out1, [3])
+
+
+def test_rans_fuzz_random_tables():
+    """Round-trip fuzz over random CDF tables, symbol ranges, and lengths."""
+    enc, dec = RansEncoder(), RansDecoder()
+    rng = np.random.RandomState(123)
+    for trial in range(25):
+        n_tables = rng.randint(1, 6)
+        lengths, rows = [], []
+        for _ in range(n_tables):
+            nbins = rng.randint(2, 40)
+            pmf = rng.dirichlet(np.ones(nbins) * rng.uniform(0.2, 3.0))
+            tail = rng.uniform(1e-9, 1e-3)
+            rows.append((pmf, tail))
+            lengths.append(nbins + 2)
+        max_len = max(lengths)
+        cdfs = np.zeros((n_tables, max_len), np.int32)
+        for i, (pmf, tail) in enumerate(rows):
+            c = pmf_to_quantized_cdf(np.concatenate([pmf, [tail]]))
+            cdfs[i, : len(c)] = c
+        offsets = rng.randint(-50, 50, n_tables).astype(np.int32)
+        cdf_lengths = np.asarray(lengths, np.int32)
+        n = rng.randint(1, 400)
+        idx = rng.randint(0, n_tables, n).astype(np.int32)
+        # symbols: mixture of in-range and far out-of-range
+        sym = np.empty(n, np.int32)
+        for j in range(n):
+            lo = offsets[idx[j]]
+            hi = lo + cdf_lengths[idx[j]] - 2
+            if rng.rand() < 0.8:
+                sym[j] = rng.randint(lo, max(hi, lo + 1))
+            else:
+                sym[j] = rng.randint(-5000, 5000)
+        data = enc.encode_with_indexes(sym, idx, cdfs, cdf_lengths, offsets)
+        out = dec.decode_with_indexes(data, idx, cdfs, cdf_lengths, offsets)
+        np.testing.assert_array_equal(out, sym, err_msg=f"trial {trial}")
+
+
 def test_factorized_roundtrip_and_likelihood():
     C = 8
     eb = FactorizedEntropy(channels=C)
