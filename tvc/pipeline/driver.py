@@ -132,10 +132,7 @@ def run_sweep_batched(
 
     os.makedirs(output_path, exist_ok=True)
     for vid, points in per_video.items():
-        out_root = os.path.join(output_path, f"output_{vid}")
-        os.makedirs(out_root, exist_ok=True)
-        with open(os.path.join(out_root, "points.json"), "w") as f:
-            json.dump([_dc.asdict(p) for p in points], f, indent=1)
+        persist_rd_results(vid, points, os.path.join(output_path, f"output_{vid}"))
     return per_video
 
 
@@ -201,35 +198,43 @@ def run_sweep(
         results[vid] = points
         if not points:
             continue
-
-        with open(os.path.join(out_root, "points.json"), "w") as f:
-            json.dump([dataclasses.asdict(p) for p in points], f, indent=1)
-
-        fvds = [0.0 if np.isnan(p.fvd) else p.fvd for p in points]
-        try:
-            psnr_arr, lpips_arr, fvd_arr = process_data_and_save(
-                vid,
-                [p.bpp for p in points],
-                [p.psnr_list for p in points],
-                [p.lpips_list for p in points],
-                fvds,
-                out_root,
-            )
-        except Exception:
-            # hull needs >= 3 non-collinear points; fall back to raw curves
-            bpps = np.asarray([p.bpp for p in points])
-            order = np.argsort(bpps)
-            psnr_arr = np.vstack([bpps[order],
-                                  np.asarray([np.mean(p.psnr_list) for p in points])[order]])
-            lpips_arr = np.vstack([bpps[order],
-                                   np.asarray([np.mean(p.lpips_list) for p in points])[order]])
-            fvd_arr = np.vstack([bpps[order], np.asarray(fvds)[order]])
-            for name, arr in (("psnr", psnr_arr), ("lpips", lpips_arr), ("fvd", fvd_arr)):
-                np.save(os.path.join(out_root, f"{name}_{vid}.npy"), arr)
-        try:
-            plot(vid, psnr_arr, lpips_arr, fvd_arr, out_root,
-                 bench_264=bench_264, bench_265=bench_265)
-        except Exception as e:  # plotting must not kill a sweep
-            print(f"plotting failed for video {vid}: {e}")
+        persist_rd_results(vid, points, out_root, bench_264, bench_265)
         print(f"video {vid}: {len(points)} rate points in {time.time() - t0:.1f}s")
     return results
+
+
+def persist_rd_results(vid: int, points, out_root: str,
+                       bench_264: Optional[str] = None,
+                       bench_265: Optional[str] = None) -> None:
+    """points.json + convex-hull RD envelopes + anchor-overlay plots for one
+    video (function.py:148-230 + result_plot.py driver semantics)."""
+    os.makedirs(out_root, exist_ok=True)
+    with open(os.path.join(out_root, "points.json"), "w") as f:
+        json.dump([dataclasses.asdict(p) for p in points], f, indent=1)
+
+    fvds = [0.0 if np.isnan(p.fvd) else p.fvd for p in points]
+    try:
+        psnr_arr, lpips_arr, fvd_arr = process_data_and_save(
+            vid,
+            [p.bpp for p in points],
+            [p.psnr_list for p in points],
+            [p.lpips_list for p in points],
+            fvds,
+            out_root,
+        )
+    except Exception:
+        # hull needs >= 3 non-collinear points; fall back to raw curves
+        bpps = np.asarray([p.bpp for p in points])
+        order = np.argsort(bpps)
+        psnr_arr = np.vstack([bpps[order],
+                              np.asarray([np.mean(p.psnr_list) for p in points])[order]])
+        lpips_arr = np.vstack([bpps[order],
+                               np.asarray([np.mean(p.lpips_list) for p in points])[order]])
+        fvd_arr = np.vstack([bpps[order], np.asarray(fvds)[order]])
+        for name, arr in (("psnr", psnr_arr), ("lpips", lpips_arr), ("fvd", fvd_arr)):
+            np.save(os.path.join(out_root, f"{name}_{vid}.npy"), arr)
+    try:
+        plot(vid, psnr_arr, lpips_arr, fvd_arr, out_root,
+             bench_264=bench_264, bench_265=bench_265)
+    except Exception as e:  # plotting must not kill a sweep
+        print(f"plotting failed for video {vid}: {e}")
