@@ -131,16 +131,18 @@ def test_ncsnpp3d_archs(arch):
     from tvc.models.diffusion.ncsnpp import UNetMoreDDPM
 
     cfg = tiny_cfg()
+    cfg.data.image_size = 8
     cfg.model.ngf = 8
     cfg.model.n_head_channels = 4
+    cfg.model.attn_resolutions = (4,)
     cfg.model.arch = arch
     model = UNetMoreDDPM(cfg=cfg)
-    x = jnp.zeros((1, 16, 16, 6))
-    cond = jnp.zeros((1, 16, 16, 3))
+    x = jnp.zeros((1, 8, 8, 6))
+    cond = jnp.zeros((1, 8, 8, 3))
     y = jnp.zeros((1,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, y, cond)
     out = model.apply(params, x, y, cond)
-    assert out.shape == (1, 16, 16, 6)
+    assert out.shape == (1, 8, 8, 6)
     assert np.all(np.isfinite(np.asarray(out)))
 
 

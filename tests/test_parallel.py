@@ -83,6 +83,7 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_odd():
     from tvc.parallel.train import dryrun_multichip
 
