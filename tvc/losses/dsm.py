@@ -27,27 +27,36 @@ def anneal_dsm_score_estimation(
     l1: bool = False,
     gamma: bool = False,
     all_frames: bool = False,
+    version: str = "DDPM",  # DDPM/DDIM/FPNDM (alpha path) | SMLD (sigma path)
+    sigmas=None,  # required for SMLD: the noise-level ladder
 ) -> jax.Array:
     """eps_fn(x_t, labels, cond, cond_mask) -> eps-hat. Returns scalar loss."""
     b = x.shape[0]
     k_label, k_noise = jax.random.split(key)
-    alphas = jnp.asarray(schedule.alphas, jnp.float32)
-    labels = jax.random.randint(k_label, (b,), 0, len(schedule.alphas))
-    used = alphas[labels].reshape((b,) + (1,) * (x.ndim - 1))
 
     if all_frames and cond is not None:
         x = jnp.concatenate([x, cond], axis=-1)
         cond = None
 
-    if gamma:
-        k_cum = jnp.asarray(schedule.k_cum, jnp.float32)[labels].reshape(used.shape)
-        theta = jnp.asarray(schedule.theta_t, jnp.float32)[labels].reshape(used.shape)
-        z = jax.random.gamma(k_noise, jnp.broadcast_to(k_cum, x.shape)) * theta
-        z = (z - k_cum * theta) / jnp.sqrt(1.0 - used)
-    else:
+    if version.upper() == "SMLD":
+        # losses/dsm.py:18-24: perturbed_x = x + sigma * z
+        sig = jnp.asarray(sigmas, jnp.float32)
+        labels = jax.random.randint(k_label, (b,), 0, len(sig))
+        used = sig[labels].reshape((b,) + (1,) * (x.ndim - 1))
         z = jax.random.normal(k_noise, x.shape, x.dtype)
-
-    x_t = jnp.sqrt(used) * x + jnp.sqrt(1.0 - used) * z
+        x_t = x + used * z
+    else:
+        alphas = jnp.asarray(schedule.alphas, jnp.float32)
+        labels = jax.random.randint(k_label, (b,), 0, len(schedule.alphas))
+        used = alphas[labels].reshape((b,) + (1,) * (x.ndim - 1))
+        if gamma:
+            k_cum = jnp.asarray(schedule.k_cum, jnp.float32)[labels].reshape(used.shape)
+            theta = jnp.asarray(schedule.theta_t, jnp.float32)[labels].reshape(used.shape)
+            z = jax.random.gamma(k_noise, jnp.broadcast_to(k_cum, x.shape)) * theta
+            z = (z - k_cum * theta) / jnp.sqrt(1.0 - used)
+        else:
+            z = jax.random.normal(k_noise, x.shape, x.dtype)
+        x_t = jnp.sqrt(used) * x + jnp.sqrt(1.0 - used) * z
     pred = eps_fn(x_t, labels, cond, cond_mask)
 
     if l1:
