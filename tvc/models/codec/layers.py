@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision
 import numpy as np
 
 Dtype = Any
@@ -40,6 +41,7 @@ class Conv(nn.Module):
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             dtype=self.dtype,
+            precision=Precision.HIGHEST,
             name="conv",
         )(x)
 
@@ -71,6 +73,7 @@ class Deconv(nn.Module):
             padding="VALID",
             transpose_kernel=True,  # matches torch ConvTranspose weight layout
             dtype=self.dtype,
+            precision=Precision.HIGHEST,
             name="conv",
         )(x)
         end = p - (s - 1)
@@ -86,7 +89,7 @@ class Conv1x1(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.out_ch, (1, 1), strides=(self.stride, self.stride),
-                       dtype=self.dtype, name="conv")(x)
+                       dtype=self.dtype, precision=Precision.HIGHEST, name="conv")(x)
 
 
 class Conv3x3(nn.Module):
@@ -97,7 +100,8 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.out_ch, (3, 3), strides=(self.stride, self.stride),
-                       padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       precision=Precision.HIGHEST, name="conv")(x)
 
 
 class ResidualBottleneckBlock(nn.Module):
@@ -178,6 +182,7 @@ class CheckboardMaskedConv(nn.Module):
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), (w * mask).astype(self.dtype), (1, 1),
             ((p, p), (p, p)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=Precision.HIGHEST,
         ) + b.astype(self.dtype)
 
 
@@ -203,6 +208,7 @@ class MaskedConv2d(nn.Module):
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), (w * mask).astype(self.dtype), (1, 1),
             ((p, p), (p, p)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=Precision.HIGHEST,
         ) + b.astype(self.dtype)
 
 
@@ -216,7 +222,7 @@ class SubpelConv3x3(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.out_ch * self.r ** 2, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv")(x)
+                    dtype=self.dtype, precision=Precision.HIGHEST, name="conv")(x)
         b, h, w, c = y.shape
         r = self.r
         y = y.reshape(b, h, w, c // (r * r), r, r)
