@@ -216,6 +216,27 @@ def cmd_anchors(argv: List[str]) -> int:
     return 0
 
 
+def cmd_train(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="tvc train")
+    _add_config_args(ap)
+    ap.add_argument("--data-npy", required=True, help="(B,T,C,H,W) dataset npy")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--snapshot-freq", type=int, default=500)
+    args = ap.parse_args(argv)
+
+    cfg = _load_cfg(args)
+    from tvc.pipeline.driver import load_dataset
+    from tvc.pipeline.train_loop import train
+
+    data = load_dataset(args.data_npy)
+    metrics = train(cfg, data, num_steps=args.steps, batch_size=args.batch_size,
+                    snapshot_freq=args.snapshot_freq, out_dir=args.out_dir)
+    print(metrics)
+    return 0
+
+
 def cmd_bench(argv: List[str]) -> int:
     sys.argv = ["bench.py"] + argv
     import bench  # repo-root bench driver
@@ -226,7 +247,8 @@ def cmd_bench(argv: List[str]) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    cmds = {"sweep": cmd_sweep, "codec": cmd_codec, "anchors": cmd_anchors, "bench": cmd_bench}
+    cmds = {"sweep": cmd_sweep, "codec": cmd_codec, "anchors": cmd_anchors,
+            "train": cmd_train, "bench": cmd_bench}
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in cmds:
         print(f"usage: python -m tvc.cli {{{','.join(cmds)}}} ...")
         return 0 if argv and argv[0] in ("-h", "--help") else 1

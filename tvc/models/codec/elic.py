@@ -99,12 +99,20 @@ class ELICModel(nn.Module):
             Deconv(3, 5, 2, dtype=dt, name="g_s_14"),
         ]
         # --- h_a / h_s (Network.py:124-138); relus are parameter-free ---
-        self.h_a_0 = Conv3x3(N, dtype=dt, name="h_a_0")
-        self.h_a_2 = Conv(N, 5, 2, dtype=dt, name="h_a_2")
-        self.h_a_4 = Conv(N, 5, 2, dtype=dt, name="h_a_4")
-        self.h_s_0 = Deconv(N, 5, 2, dtype=dt, name="h_s_0")
-        self.h_s_2 = Deconv(N * 3 // 2, 5, 2, dtype=dt, name="h_s_2")
-        self.h_s_4 = Conv3x3(2 * self.M, dtype=dt, name="h_s_4")
+        # The hyper/context path computes the entropy parameters that symbols
+        # are rounded against: full-f32 conv accumulation (HIGHEST) so that
+        # converted checkpoints reproduce the reference's mu/sigma exactly.
+        # These convs run on <=8x8 latents, so the precision costs ~nothing;
+        # the big g_a/g_s transforms keep the backend default.
+        import jax.lax as _lax
+
+        hp = _lax.Precision.HIGHEST
+        self.h_a_0 = Conv3x3(N, dtype=dt, precision=hp, name="h_a_0")
+        self.h_a_2 = Conv(N, 5, 2, dtype=dt, precision=hp, name="h_a_2")
+        self.h_a_4 = Conv(N, 5, 2, dtype=dt, precision=hp, name="h_a_4")
+        self.h_s_0 = Deconv(N, 5, 2, dtype=dt, precision=hp, name="h_s_0")
+        self.h_s_2 = Deconv(N * 3 // 2, 5, 2, dtype=dt, precision=hp, name="h_s_2")
+        self.h_s_4 = Conv3x3(2 * self.M, dtype=dt, precision=hp, name="h_s_4")
 
         # --- cc transforms (Network.py:140-149): slices 1..4 ---
         g = (0,) + tuple(self.groups)
@@ -112,9 +120,9 @@ class ELICModel(nn.Module):
         for i in range(1, self.num_slices):
             in_ch = g[min(1, i) if i > 0 else 0] + g[i if i > 1 else 0]
             cc.append([
-                Conv(224, 5, 1, dtype=dt, name=f"cc_{i - 1}_0"),
-                Conv(128, 5, 1, dtype=dt, name=f"cc_{i - 1}_2"),
-                Conv(g[i + 1] * 2, 5, 1, dtype=dt, name=f"cc_{i - 1}_4"),
+                Conv(224, 5, 1, dtype=dt, precision=hp, name=f"cc_{i - 1}_0"),
+                Conv(128, 5, 1, dtype=dt, precision=hp, name=f"cc_{i - 1}_2"),
+                Conv(g[i + 1] * 2, 5, 1, dtype=dt, precision=hp, name=f"cc_{i - 1}_4"),
             ])
         self.cc_layers = cc
 
@@ -128,9 +136,9 @@ class ELICModel(nn.Module):
         agg = []
         for i in range(self.num_slices):
             agg.append([
-                Conv1x1(640, dtype=dt, name=f"agg_{i}_0"),
-                Conv1x1(512, dtype=dt, name=f"agg_{i}_2"),
-                Conv1x1(self.groups[i] * 2, dtype=dt, name=f"agg_{i}_4"),
+                Conv1x1(640, dtype=dt, precision=hp, name=f"agg_{i}_0"),
+                Conv1x1(512, dtype=dt, precision=hp, name=f"agg_{i}_2"),
+                Conv1x1(self.groups[i] * 2, dtype=dt, precision=hp, name=f"agg_{i}_4"),
             ])
         self.agg_layers = agg
 

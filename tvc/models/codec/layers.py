@@ -31,6 +31,7 @@ class Conv(nn.Module):
     kernel_size: int = 5
     stride: int = 2
     dtype: Dtype = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -41,7 +42,7 @@ class Conv(nn.Module):
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             dtype=self.dtype,
-            precision=Precision.HIGHEST,
+            precision=self.precision,
             name="conv",
         )(x)
 
@@ -58,6 +59,7 @@ class Deconv(nn.Module):
     kernel_size: int = 5
     stride: int = 2
     dtype: Dtype = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -73,7 +75,7 @@ class Deconv(nn.Module):
             padding="VALID",
             transpose_kernel=True,  # matches torch ConvTranspose weight layout
             dtype=self.dtype,
-            precision=Precision.HIGHEST,
+            precision=self.precision,
             name="conv",
         )(x)
         end = p - (s - 1)
@@ -85,23 +87,25 @@ class Conv1x1(nn.Module):
     out_ch: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.out_ch, (1, 1), strides=(self.stride, self.stride),
-                       dtype=self.dtype, precision=Precision.HIGHEST, name="conv")(x)
+                       dtype=self.dtype, precision=self.precision, name="conv")(x)
 
 
 class Conv3x3(nn.Module):
     out_ch: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.out_ch, (3, 3), strides=(self.stride, self.stride),
                        padding=((1, 1), (1, 1)), dtype=self.dtype,
-                       precision=Precision.HIGHEST, name="conv")(x)
+                       precision=self.precision, name="conv")(x)
 
 
 class ResidualBottleneckBlock(nn.Module):
@@ -218,11 +222,12 @@ class SubpelConv3x3(nn.Module):
     out_ch: int
     r: int = 1
     dtype: Dtype = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.out_ch * self.r ** 2, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, precision=Precision.HIGHEST, name="conv")(x)
+                    dtype=self.dtype, precision=self.precision, name="conv")(x)
         b, h, w, c = y.shape
         r = self.r
         y = y.reshape(b, h, w, c // (r * r), r, r)
