@@ -140,6 +140,12 @@ def cmd_codec(argv: List[str]) -> int:
     ap.add_argument("--entropy-estimation", action="store_true",
                     help="likelihood-based bpp, no bitstreams (reference "
                          "city_sender --entropy-estimation)")
+    ap.add_argument("--save-bitstream", type=str, default=None,
+                    help="write the coded frames to a TVC1 container file")
+    ap.add_argument("--from-bitstream", type=str, default=None,
+                    help="receiver mode: decode a TVC1 container instead of "
+                         "encoding --input-npy (which is then only used for "
+                         "PSNR reporting)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -179,6 +185,29 @@ def cmd_codec(argv: List[str]) -> int:
             np.save(args.output_npy, x_hat)
         return 0
     coder = ELICCoder(model, variables)
+    if args.from_bitstream:
+        # receiver: decode the container only
+        from tvc.models.codec import container
+
+        enc = container.load(args.from_bitstream)
+        dec = coder.decompress(enc["strings"], enc["shape"])
+        x_hat = dec["x_hat"][:, : x.shape[1], : x.shape[2], :]
+        bpp = float("nan")
+        print(f"[receiver] decoded {x_hat.shape[0]} frames from {args.from_bitstream} "
+              f"psnr={np.mean([psnr(x[i], x_hat[i]) for i in range(len(x))]):.2f}dB")
+        if args.output_npy:
+            np.save(args.output_npy, x_hat)
+        return 0
+    if args.save_bitstream:
+        from tvc.models.codec import container
+        from tvc.pipeline.keyframe import pad_to_multiple
+
+        xp, _ = pad_to_multiple(x, cfg.codec.patch)
+        enc = coder.compress(xp)
+        nbytes = container.save(args.save_bitstream, enc)
+        print(f"[sender] wrote {nbytes} bytes "
+              f"({nbytes * 8 / (x.shape[0] * x.shape[1] * x.shape[2]):.4f} bpp) "
+              f"-> {args.save_bitstream}")
     x_hat, bits = code_frames(coder, x, cfg.codec.patch)
     bpp = sum(bits) / (x.shape[0] * x.shape[1] * x.shape[2])
     print(f"frames={x.shape[0]} bpp={bpp:.4f} "
