@@ -1,0 +1,44 @@
+"""Receiver reconstruction must be BIT-IDENTICAL to the sender's decode.
+
+The protocol's core property: the receiver, given only (accepts, seed,
+keyframe containers), regenerates non-transmitted frames with the same
+deterministic sampler and reproduces the sender's sequence exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tvc.pipeline.receiver import run_gop_receiver
+from tvc.pipeline.sender import Sender, run_gop
+
+RNG = np.random.RandomState(41)
+
+
+@pytest.mark.parametrize("threshold", [1e9, 0.5])
+def test_receiver_matches_sender(tiny_pipeline, threshold):
+    cfg, predictor, coder, lp = tiny_pipeline
+    video = RNG.rand(12, 64, 64, 3).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    sender = Sender(threshold=threshold, cfg=cfg, predictor=predictor, lpips=lp)
+    gop = run_gop(sender, coder, video, key, num_frames_total=8, patch=64,
+                  keep_streams=True)
+    assert gop.containers is not None and gop.accepts is not None
+
+    rec = run_gop_receiver(cfg, gop.accepts, gop.containers, coder, predictor,
+                           key, num_frames_total=8)
+    assert rec.shape == (8, 64, 64, 3)
+    np.testing.assert_array_equal(rec, gop.x_ge[0])
+
+
+def test_receiver_all_fallback(tiny_pipeline):
+    """Impossible threshold: receiver decodes everything from containers."""
+    cfg, predictor, coder, lp = tiny_pipeline
+    video = RNG.rand(8, 64, 64, 3).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    sender = Sender(threshold=-1.0, cfg=cfg, predictor=predictor, lpips=lp)
+    gop = run_gop(sender, coder, video, key, num_frames_total=6, patch=64,
+                  keep_streams=True)
+    rec = run_gop_receiver(cfg, gop.accepts, gop.containers, coder, predictor,
+                           key, num_frames_total=6)
+    np.testing.assert_array_equal(rec, gop.x_ge[0])

@@ -97,6 +97,14 @@ class GOPResult:
     bpp: float
     n_updates: int
     wall_time: float
+    # serialized TVC1 containers per keyframe coding event (keep_streams=True):
+    # what actually crosses the channel, in order (initial pair, fallbacks...)
+    containers: Optional[List[bytes]] = None
+    # accepted-frame count per predictor update (0 => fallback pair followed);
+    # together with containers + the seed this fully determines the receiver's
+    # reconstruction (consecutive zeros in d can span multiple updates, so d
+    # alone is ambiguous)
+    accepts: Optional[List[int]] = None
 
 
 def run_gop(
@@ -106,27 +114,47 @@ def run_gop(
     key: jax.Array,
     num_frames_total: int = 30,
     patch: int = 64,
+    keep_streams: bool = False,
 ) -> GOPResult:
-    """Full GOP encode of one video (driver loop city_sender.py:495-562)."""
+    """Full GOP encode of one video (driver loop city_sender.py:495-562).
+
+    keep_streams=True additionally serializes each keyframe coding event into
+    a TVC1 container — together with (d, seed) this is everything a receiver
+    needs (tvc/pipeline/receiver.py)."""
     t0 = time.time()
     h, w = video_gt.shape[1], video_gt.shape[2]
     nc = sender.cfg.data.num_frames_cond
 
-    dec0, bits0 = code_frames(coder, video_gt[:nc], patch)
+    def code(frames):
+        if keep_streams:
+            from tvc.models.codec import container
+            from tvc.pipeline.keyframe import pad_to_multiple, per_frame_bits
+
+            x, (pad_b, pad_r) = pad_to_multiple(frames.astype(np.float32), patch)
+            enc = coder.compress(x, return_recon=True)
+            dec = enc["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
+            containers.append(container.serialize(enc))
+            return dec, per_frame_bits(enc["strings"], frames.shape[0])
+        return code_frames(coder, frames, patch)
+
+    containers: List[bytes] = []
+    dec0, bits0 = code(video_gt[:nc])
     x_ge = dec0[None]
     x_gt = video_gt[None]
     d = np.ones((1, nc), dtype=np.int64)
     bits_list: List[int] = list(bits0)
     n_updates = 0
+    accepts: List[int] = []
 
     while x_ge.shape[1] < num_frames_total:
         key, sub = jax.random.split(key)
         prev_len = x_ge.shape[1]
         d, x_ge = sender.update(sub, x_gt, x_ge, d)
         n_updates += 1
+        accepts.append(int(x_ge.shape[1] - prev_len))
         if x_ge.shape[1] == prev_len:  # prediction rejected: transmit 2 frames
             l = prev_len
-            dec, bits = code_frames(coder, video_gt[l : l + nc], patch)
+            dec, bits = code(video_gt[l : l + nc])
             bits_list.extend(bits)
             x_ge = np.concatenate([x_ge, dec[None]], axis=1)
             d = np.concatenate([d, np.ones((1, dec.shape[0]), dtype=np.int64)], axis=1)
@@ -136,7 +164,9 @@ def run_gop(
     bits = int(sum(bits_list))
     bpp = bits / h / w / num_frames_total
     return GOPResult(d=d, x_ge=x_ge, bits=bits, bpp=bpp, n_updates=n_updates,
-                     wall_time=time.time() - t0)
+                     wall_time=time.time() - t0,
+                     containers=containers if keep_streams else None,
+                     accepts=accepts)
 
 
 @dataclasses.dataclass
