@@ -46,13 +46,15 @@ def test_legacy_unet_ddpm():
 
     cfg = tiny_cfg()
     cfg.model.depth = "deep"
+    cfg.data.image_size = 8
+    cfg.model.ngf = 8
     model = UNetDDPM(cfg=cfg)
-    x = jnp.zeros((1, 16, 16, 6))
-    cond = jnp.zeros((1, 16, 16, 3))
+    x = jnp.zeros((1, 8, 8, 6))
+    cond = jnp.zeros((1, 8, 8, 3))
     y = jnp.zeros((1,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, y, cond)
     out = model.apply(params, x, y, cond)
-    assert out.shape == (1, 16, 16, 6)
+    assert out.shape == (1, 8, 8, 6)
 
 
 def test_legacy_unet_smld():
@@ -60,12 +62,14 @@ def test_legacy_unet_smld():
 
     cfg = tiny_cfg(version="SMLD")
     cfg.model.depth = "deep"
+    cfg.data.image_size = 8
+    cfg.model.ngf = 8
     model = UNetSMLD(cfg=cfg)
-    x = jnp.zeros((1, 16, 16, 6))
+    x = jnp.zeros((1, 8, 8, 6))
     y = jnp.zeros((1,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, y, None)
     out = model.apply(params, x, y, None)
-    assert out.shape == (1, 16, 16, 6)
+    assert out.shape == (1, 8, 8, 6)
 
 
 def test_norm_zoo():

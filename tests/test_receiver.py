@@ -15,7 +15,10 @@ from tvc.pipeline.sender import Sender, run_gop
 RNG = np.random.RandomState(41)
 
 
-@pytest.mark.parametrize("threshold", [1e9, 0.5])
+@pytest.mark.parametrize(
+    "threshold",
+    [1e9, pytest.param(0.5, marks=pytest.mark.slow)],
+)
 def test_receiver_matches_sender(tiny_pipeline, threshold):
     cfg, predictor, coder, lp = tiny_pipeline
     video = RNG.rand(12, 64, 64, 3).astype(np.float32)

@@ -79,15 +79,15 @@ def make_train_step(cfg: Config, mesh: Mesh, dtype=jnp.float32):
 def tiny_train_config(n_devices: int) -> Config:
     """Small flagship-shaped config for multi-chip dry runs."""
     cfg = Config()
-    cfg.data.image_size = 16
+    cfg.data.image_size = 8
     cfg.data.num_frames = 2
     cfg.data.num_frames_cond = 1
-    cfg.model.ngf = 32
+    cfg.model.ngf = 16
     cfg.model.ch_mult = (1, 2)
     cfg.model.num_res_blocks = 1
-    cfg.model.attn_resolutions = (8,)
-    cfg.model.n_head_channels = 16
-    cfg.model.num_classes = 50
+    cfg.model.attn_resolutions = (4,)
+    cfg.model.n_head_channels = 8
+    cfg.model.num_classes = 20
     cfg.optim.warmup = 0
     return cfg
 
@@ -132,7 +132,7 @@ def dryrun_multichip(n_devices: int) -> None:
         from tvc.samplers.schedules import Schedule
 
         model = UNetMoreDDPM(cfg=cfg)
-        sub = Schedule.from_config(cfg).subsample(5)
+        sub = Schedule.from_config(cfg).subsample(3)
 
         def eps(x, labels, cond):
             return model.apply(state.ema, x, labels, cond)
