@@ -193,6 +193,22 @@ class FactorizedCoder:
             self.cdf, self.cdf_length, self.offset,
         )
 
+    def compress_symbols(self, sym: np.ndarray) -> List[bytes]:
+        """Encode pre-computed integer symbols sym = round(z - median), NHWC.
+
+        Used by the fused compress program (ELICModel.compress_forward), which
+        quantizes z on device in f32; coding the device's own symbols keeps
+        encoder and decoder bit-consistent by construction (decompress returns
+        sym + median)."""
+        b, h, w, c = sym.shape
+        assert c == self.channels
+        s = np.transpose(sym, (0, 3, 1, 2)).astype(np.int32)
+        idx = self._indexes(h, w)
+        return self._enc.encode_batch(
+            s.reshape(b, -1), np.tile(idx, (b, 1)), [idx.size] * b,
+            self.cdf, self.cdf_length, self.offset,
+        )
+
     def decompress(self, strings: Sequence[bytes], hw: Tuple[int, int]) -> np.ndarray:
         h, w = hw
         b = len(strings)

@@ -4,13 +4,28 @@ Implements the real `compress`/`decompress` of the reference
 (Network.py:336-441, 444-532): hyperprior z through the factorized coder, then
 per-slice two-phase checkerboard coding through the Gaussian coder.
 
-TPU-first engineering (SURVEY.md §7.3 item 4 — serial-entropy-loop latency):
-- exactly TWO fused device programs per slice (anchor-params, then
-  context+nonanchor-params), with the previous slice's reconstruction and the
-  checkerboard packing folded in;
-- every program returns ONE packed (means ‖ scales) tensor so each step costs
-  a single host fetch; the true-latent checkerboard packing for symbols is one
-  additional up-front call for all slices;
+TPU-first engineering (SURVEY.md §7.3 item 4 — serial-entropy-loop latency).
+rANS bit-exactness requires the decoder to reproduce the encoder's entropy
+parameters EXACTLY; different XLA programs computing "the same" convs differ
+at the ulp level, which is enough to flip a quantization boundary or a
+scale-table index and desync the stream. compressai gets exactness for free
+by running identical eager torch code on both sides; the tvc design gets it
+by construction with a device/host split:
+
+- the big transforms (g_a, h_a, g_s) run on the TPU — they only produce or
+  consume latents, never entropy parameters, so ulp drift there is harmless;
+- the entropy-parameter chain (h_s hyper-synthesis, cc/ctx/agg per-slice
+  stages, all on 1/16-scale latents) runs as host-CPU-jitted programs that
+  compress and decompress SHARE — same executables => bit-identical params on
+  both ends, and the serial per-slice loop costs no device round-trips
+  because it already lives next to the rANS coder;
+- `compress(exact=False)` is an opt-in simulation fast path: ONE fused device
+  program for the entire compress side (the encoder computes its own
+  "decoded" symbols as round(y - mu) + mu, needing no bitstream). Its streams
+  are rate-exact and self-consistent but NOT guaranteed decodable by a
+  separately-compiled receiver — use it for in-process rate sweeps (the
+  reference's own semantics: city_sender simulates both ends in one process),
+  never for the transmissible TVC1 container path;
 - stage programs are cached per architecture and take the weight tree as an
   explicit argument, so the reference's 6 quality checkpoints
   (city_sender.py:478-484) share compilations.
@@ -101,15 +116,32 @@ def _stage_fns(m: ELICModel) -> dict:
             packed = jnp.concatenate([cb.pack_nonanchor(mu_n), cb.pack_nonanchor(sc_n)], axis=-1)
             return y_anchor_dec, packed
 
-        phase1.append(jax.jit(p1))
-        phase2.append(jax.jit(p2))
+        phase1.append(p1)
+        phase2.append(p2)
+
+    def _comp(v, x, return_recon):
+        return m.apply(v, x, return_recon, method=ELICModel.compress_forward)
+
+    # Entropy-parameter programs are jitted FOR THE HOST CPU: compress and
+    # decompress share these executables, which is what guarantees bit-equal
+    # params on both ends (see module docstring). Everything else targets the
+    # default backend.
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - cpu backend always exists today
+        cpu_dev = None
+
+    def jit_cpu(f):
+        return jax.jit(f, device=cpu_dev) if cpu_dev is not None else jax.jit(f)
 
     fns = {
         "enc": jax.jit(_enc),
-        "hyp": jax.jit(_hyp),
         "syn": jax.jit(_syn),
-        "phase1": phase1,
-        "phase2": phase2,
+        "comp": jax.jit(_comp, static_argnums=(2,)),
+        "hyp": jit_cpu(_hyp),
+        "phase1": [jit_cpu(p) for p in phase1],
+        "phase2": [jit_cpu(p) for p in phase2],
+        "cpu_device": cpu_dev,
     }
     _STAGE_CACHE[key] = fns
     return fns
@@ -117,6 +149,9 @@ def _stage_fns(m: ELICModel) -> dict:
 
 class ELICCoder:
     """Binds an ELICModel + variables to host entropy coders."""
+
+    # params the host-CPU entropy-parameter programs actually touch
+    _ENTROPY_PREFIXES = ("h_s_", "cc_", "ctx_", "agg_", "entropy_bottleneck")
 
     def __init__(self, model: ELICModel, variables: dict):
         self.model = model
@@ -126,6 +161,16 @@ class ELICCoder:
         )
         self.gc = GaussianCoder()
         self._fns = _stage_fns(model)
+        # host-CPU copy of just the entropy-parameter weights (the big
+        # g_a/g_s/h_a trees stay device-only)
+        sub = {
+            k: v
+            for k, v in variables["params"].items()
+            if k.startswith(self._ENTROPY_PREFIXES)
+        }
+        cpu_dev = self._fns["cpu_device"]
+        tree = {"params": sub}
+        self._v_cpu = jax.device_put(tree, cpu_dev) if cpu_dev is not None else tree
 
     # ---------------- helpers ----------------
 
@@ -145,23 +190,41 @@ class ELICCoder:
         idx = self.gc.build_indexes(sc_cf)
         strings = self.gc.compress(y_packed_cf, idx, mu_cf)
         decoded = np.round(y_packed_cf - mu_cf).astype(np.float32) + np.asarray(mu_cf, np.float32)
-        return strings, jnp.asarray(_to_clast(decoded))
+        return strings, _to_clast(decoded)
 
     # ---------------- compress ----------------
 
-    def compress(self, x: np.ndarray, return_recon: bool = False) -> Dict[str, Any]:
+    def compress(self, x: np.ndarray, return_recon: bool = False,
+                 exact: bool = True) -> Dict[str, Any]:
         """x: (B,H,W,3) in [0,1]. Returns strings + z spatial shape + timings.
 
-        return_recon=True also synthesizes x_hat from the compress-side decoded
-        latents — identical to decompress() by construction (the encoder feeds
-        its own decoded symbols forward, Network.py:401,427; equality asserted
-        in tests) at ~half the device round-trips. Sender fast path; the
-        receiver uses decompress()."""
+        exact=True (default, transmissible path): the big transforms run on
+        the device; the entropy-parameter chain runs through the SAME
+        host-CPU programs `decompress` uses, so a separately-running receiver
+        reproduces the parameters — and therefore the reconstruction —
+        bit-exactly (asserted in tests/test_receiver.py). The per-slice loop
+        is host-local: no device round-trips inside it.
+
+        exact=False (simulation fast path): ONE fused device program
+        (ELICModel.compress_forward) computes the entire compress side —
+        encoder-side "decoded" symbols are just round(y - mu) + mu, so no
+        bitstream is needed on device — and the host rANS encodes the fetched
+        symbols afterwards. Rate-exact and self-consistent, but only
+        decodable with the encoder's own compiled programs; use for
+        in-process rate sweeps only (the reference's own in-process
+        simulation semantics, city_sender.py:495-607).
+
+        return_recon=True also synthesizes x_hat from the compress-side
+        decoded latents — identical to decompress() by construction (the
+        encoder feeds its own decoded symbols forward, Network.py:401,427)."""
+        if not exact:
+            return self._compress_fused(x, return_recon)
         v = self.variables
         fns = self._fns
         groups = self.model.groups
+
         t0 = time.time()
-        y, z, y_packed = fns["enc"](v, jnp.asarray(x, jnp.float32))
+        _, z, y_packed = fns["enc"](v, jnp.asarray(x, jnp.float32))
         z_np = np.asarray(z)
         y_packed_np = np.asarray(y_packed)
         t_enc = time.time() - t0
@@ -172,36 +235,34 @@ class ELICCoder:
         t_z = time.time() - t0
 
         t0 = time.time()
-        lm, ls = fns["hyp"](v, jnp.asarray(z_hat))
+        lm, ls = fns["hyp"](self._v_cpu, z_hat)
         t_zdec = time.time() - t0
 
         M = sum(groups)
-        anchors_np = y_packed_np[..., :M]
-        nonanchors_np = y_packed_np[..., M:]
         offs = np.concatenate([[0], np.cumsum(groups)])
 
         t0 = time.time()
         y_strings: List[List[List[bytes]]] = []
-        anchor_decs: List[jax.Array] = []
-        nonanchor_qs: List[jax.Array] = []
+        anchor_decs: List[np.ndarray] = []
+        nonanchor_qs: List[np.ndarray] = []
         y_hat_first = None
         y_anchor_dec_prev = packed_nonanchor_prev = None
         for i in range(self.model.num_slices):
             sup, y_hat_first, pa = fns["phase1"][i](
-                v, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
+                self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
             )
             mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
-            ya_cf = _to_cfirst(anchors_np[..., offs[i] : offs[i + 1]])
+            ya_cf = _to_cfirst(y_packed_np[..., offs[i] : offs[i + 1]])
             anchor_strings, anchor_q = self._code_phase(ya_cf, mu_a, sc_a)
 
-            y_anchor_dec, pn = fns["phase2"][i](v, anchor_q, sup)
+            y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
             mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
-            yn_cf = _to_cfirst(nonanchors_np[..., offs[i] : offs[i + 1]])
+            yn_cf = _to_cfirst(y_packed_np[..., M + offs[i] : M + offs[i + 1]])
             non_anchor_strings, non_anchor_q = self._code_phase(yn_cf, mu_n, sc_n)
 
             y_anchor_dec_prev = y_anchor_dec
             packed_nonanchor_prev = non_anchor_q
-            anchor_decs.append(y_anchor_dec)
+            anchor_decs.append(np.asarray(y_anchor_dec))
             nonanchor_qs.append(non_anchor_q)
             y_strings.append([anchor_strings, non_anchor_strings])
         t_params = time.time() - t0
@@ -218,39 +279,90 @@ class ELICCoder:
             out["time"]["y_dec"] = time.time() - t0
         return out
 
+    def _compress_fused(self, x: np.ndarray, return_recon: bool) -> Dict[str, Any]:
+        v = self.variables
+        fns = self._fns
+        groups = self.model.groups
+        t0 = time.time()
+        dev = fns["comp"](v, jnp.asarray(x, jnp.float32), return_recon)
+        z_sym = np.asarray(dev["z_sym"])
+        y_packed_np = np.asarray(dev["y_packed"])
+        pa_np = np.asarray(dev["pa"])
+        pn_np = np.asarray(dev["pn"])
+        if return_recon:
+            x_hat = np.asarray(dev["x_hat"])
+        t_enc = time.time() - t0
+
+        t0 = time.time()
+        z_strings = self.fb.compress_symbols(z_sym)
+        t_z = time.time() - t0
+
+        M = sum(groups)
+        offs = np.concatenate([[0], np.cumsum(groups)])
+
+        t0 = time.time()
+        y_strings: List[List[List[bytes]]] = []
+        for i in range(self.model.num_slices):
+            lo, hi = offs[i], offs[i + 1]
+            anchor_strings, _ = self._code_phase(
+                _to_cfirst(y_packed_np[..., lo:hi]),
+                _to_cfirst(pa_np[..., lo:hi]),
+                _to_cfirst(pa_np[..., M + lo : M + hi]),
+            )
+            non_anchor_strings, _ = self._code_phase(
+                _to_cfirst(y_packed_np[..., M + lo : M + hi]),
+                _to_cfirst(pn_np[..., lo:hi]),
+                _to_cfirst(pn_np[..., M + lo : M + hi]),
+            )
+            y_strings.append([anchor_strings, non_anchor_strings])
+        t_params = time.time() - t0
+
+        out = {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_sym.shape[1:3]),
+            "time": {"y_enc": t_enc, "z_enc": t_z, "z_dec": 0.0, "params": t_params},
+        }
+        if return_recon:
+            out["x_hat"] = x_hat
+            out["time"]["y_dec"] = 0.0
+        return out
+
     # ---------------- decompress ----------------
 
     def decompress(self, strings, shape: Tuple[int, int]) -> Dict[str, Any]:
-        """Mirror of compress driven only by the bitstreams (Network.py:444-532)."""
+        """Mirror of compress driven only by the bitstreams (Network.py:444-532).
+
+        The entropy-parameter chain runs through the same host-CPU programs
+        `compress(exact=True)` uses — the bit-exactness contract — and the
+        per-slice rANS decode loop therefore costs no device round-trips;
+        only the final synthesis g_s runs on the device."""
         v = self.variables
         fns = self._fns
         groups = self.model.groups
         y_strings, z_strings = strings
         z_hat = self.fb.decompress(z_strings, shape)
-        lm, ls = fns["hyp"](v, jnp.asarray(z_hat))
+        lm, ls = fns["hyp"](self._v_cpu, z_hat)
 
-        anchor_decs: List[jax.Array] = []
-        nonanchor_qs: List[jax.Array] = []
+        anchor_decs: List[np.ndarray] = []
+        nonanchor_qs: List[np.ndarray] = []
         y_hat_first = None
         y_anchor_dec_prev = packed_nonanchor_prev = None
         for i in range(self.model.num_slices):
             sup, y_hat_first, pa = fns["phase1"][i](
-                v, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
+                self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
             )
             mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
             idx_a = self.gc.build_indexes(sc_a)
-            anchor_q = jnp.asarray(_to_clast(self.gc.decompress(y_strings[i][0], idx_a, mu_a)))
+            anchor_q = _to_clast(self.gc.decompress(y_strings[i][0], idx_a, mu_a))
 
-            y_anchor_dec, pn = fns["phase2"][i](v, anchor_q, sup)
+            y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
             mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
             idx_n = self.gc.build_indexes(sc_n)
-            non_anchor_q = jnp.asarray(
-                _to_clast(self.gc.decompress(y_strings[i][1], idx_n, mu_n))
-            )
+            non_anchor_q = _to_clast(self.gc.decompress(y_strings[i][1], idx_n, mu_n))
 
             y_anchor_dec_prev = y_anchor_dec
             packed_nonanchor_prev = non_anchor_q
-            anchor_decs.append(y_anchor_dec)
+            anchor_decs.append(np.asarray(y_anchor_dec))
             nonanchor_qs.append(non_anchor_q)
 
         t0 = time.time()

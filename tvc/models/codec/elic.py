@@ -300,6 +300,68 @@ class ELICModel(nn.Module):
         x_hat = self.g_s(y_hat)
         return {"x_hat": x_hat, "likelihoods": {"y": y_lk, "z": z_lk}}
 
+    def compress_forward(self, x: jax.Array, return_recon: bool = False) -> Dict[str, Any]:
+        """Single fused compress-side program (TPU redesign of Network.py:336-441).
+
+        The reference interleaves 10 host rANS calls with the per-slice NN
+        stages; but on the *encoder* side every "decoded" symbol is just
+        round(y - mu) + mu — computable on device without the bitstream. So
+        the whole chain (g_a, h_a, z quantize, h_s, 5-slice two-phase
+        parameter/quantize loop, optional g_s) compiles to ONE XLA program,
+        and the host rANS runs purely on the fetched symbols/params
+        afterwards. The receiver (`decompress`) keeps the inherent serial
+        device<->host interleave.
+
+        Returns packed tensors for the host coder:
+        - z_sym: round(z - median) (B,h,w,N) — the z bitstream symbols;
+        - y_packed: [pack_anchor(y) ‖ pack_nonanchor(y)] (B,H,W/2,2M);
+        - pa: [pack_anchor(mu_a) per slice ‖ pack_anchor(sc_a) per slice];
+        - pn: same for the non-anchor phase;
+        - x_hat (if return_recon): sender fast-path reconstruction, equal to
+          decompress() output by construction.
+        """
+        y = self.g_a(x)
+        z = self.h_a(y)
+        med = self.entropy_bottleneck.medians().astype(z.dtype)
+        z_sym = jnp.round(z - med)
+        z_hat = z_sym + med
+        lm, ls = self.hyper_params(z_hat)
+
+        splits = np.cumsum(self.groups)[:-1]
+        y_slices = jnp.split(y, splits, axis=-1)
+        y_hat_first = y_hat_prev = None
+        mu_a_p: List[jax.Array] = []
+        sc_a_p: List[jax.Array] = []
+        mu_n_p: List[jax.Array] = []
+        sc_n_p: List[jax.Array] = []
+        y_hat_slices: List[jax.Array] = []
+        for i, ys in enumerate(y_slices):
+            sup = self.slice_support(i, y_hat_first, y_hat_prev, lm, ls)
+            mu_a, sc_a = self.anchor_params(i, sup)
+            # decoded anchors (= what the receiver reconstructs: sym + mu)
+            ya_q = keep_anchor(jnp.round(ys - mu_a) + mu_a)
+            mu_n, sc_n = self.nonanchor_params(i, ya_q, sup)
+            yn_q = keep_nonanchor(jnp.round(ys - mu_n) + mu_n)
+            y_hat_slice = ya_q + yn_q
+            if i == 0:
+                y_hat_first = y_hat_slice
+            y_hat_prev = y_hat_slice
+            y_hat_slices.append(y_hat_slice)
+            mu_a_p.append(pack_anchor(mu_a))
+            sc_a_p.append(pack_anchor(sc_a))
+            mu_n_p.append(pack_nonanchor(mu_n))
+            sc_n_p.append(pack_nonanchor(sc_n))
+
+        out = {
+            "z_sym": z_sym,
+            "y_packed": jnp.concatenate([pack_anchor(y), pack_nonanchor(y)], axis=-1),
+            "pa": jnp.concatenate(mu_a_p + sc_a_p, axis=-1),
+            "pn": jnp.concatenate(mu_n_p + sc_n_p, axis=-1),
+        }
+        if return_recon:
+            out["x_hat"] = self.synthesize(jnp.concatenate(y_hat_slices, axis=-1))
+        return out
+
     def inference(self, x: jax.Array) -> Dict[str, Any]:
         """Entropy-estimation path (Network.py:534-640): STE everywhere,
         bpp from likelihoods, no bitstreams. Fully fused."""
