@@ -305,3 +305,203 @@ def test_elic_conversion_key_mapping():
 
     out = model.apply(variables, x)
     assert out["x_hat"].shape == x.shape
+
+
+# --------------------------------------------------------------------------
+# SPADE NCSN++ conversion
+# --------------------------------------------------------------------------
+
+
+def _synthetic_spade_sd(cfg):
+    """Torch-style SPADE_NCSNpp all_modules state dict (ncsnpp_more.py:396-718)."""
+    from tvc.utils.convert import _build_plan as bp  # same plan drives SPADE
+
+    spec = NCSNppSpec.from_config(cfg)
+    plan = _build_plan(spec)
+    sd = {}
+    nf = spec.ngf
+    cond_ch = spec.channels * spec.num_frames_cond
+    sdim = cfg.model.spade_dim
+
+    def conv_keys(key, cin, cout, k):
+        sd[f"{key}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+        sd[f"{key}.bias"] = torch.randn(cout) * 0.01
+
+    def spade_actnorm(key, ch, emb=True):
+        if emb:
+            sd[f"{key}.Dense_0.weight"] = torch.randn(2 * ch, nf * 4) * 0.05
+            sd[f"{key}.Dense_0.bias"] = torch.zeros(2 * ch)
+        conv_keys(f"{key}.Norm_0.mlp_shared.0", cond_ch, sdim, 3)
+        conv_keys(f"{key}.Norm_0.mlp_gamma", sdim, ch, 3)
+        conv_keys(f"{key}.Norm_0.mlp_beta", sdim, ch, 3)
+
+    last_ch = nf
+    for i, p in enumerate(plan):
+        key = f"module.unet.all_modules.{i}"
+        if p["kind"] == "dense":
+            cin = nf if i == 0 else nf * 4
+            sd[f"{key}.weight"] = torch.randn(nf * 4, cin) * 0.05
+            sd[f"{key}.bias"] = torch.zeros(nf * 4)
+        elif p["kind"] == "conv3":
+            # input conv takes only the target frames (cond enters via SPADE)
+            cin = spec.channels * spec.num_frames if i <= 2 else last_ch
+            conv_keys(key, cin, p["out"], 3)
+        elif p["kind"] == "res":
+            cin, cout = p["in"], p["out"]
+            spade_actnorm(f"{key}.actnorm0", cin)
+            conv_keys(f"{key}.Conv_0", cin, cout, 3)
+            spade_actnorm(f"{key}.actnorm1", cout)
+            conv_keys(f"{key}.Conv_1", cout, cout, 3)
+            if cin != cout or p.get("up") or p.get("down"):
+                conv_keys(f"{key}.Conv_2", cin, cout, 1)
+            last_ch = cout
+        elif p["kind"] == "attn":
+            ch = p["ch"]
+            sd[f"{key}.GroupNorm_0.weight"] = torch.rand(ch)
+            sd[f"{key}.GroupNorm_0.bias"] = torch.rand(ch)
+            for n in range(4):
+                sd[f"{key}.NIN_{n}.W"] = torch.randn(ch, ch) * 0.05
+                sd[f"{key}.NIN_{n}.b"] = torch.zeros(ch)
+            last_ch = ch
+        elif p["kind"] == "actnorm":
+            spade_actnorm(key, p["ch"], emb=False)
+    return sd
+
+
+def test_spade_conversion_full_tree():
+    from tvc.utils.convert import convert_spade_state_dict
+
+    cfg = _tiny_cfg()
+    cfg.model.spade = True
+    cfg.model.spade_dim = 8
+    sd = _synthetic_spade_sd(cfg)
+    variables = convert_spade_state_dict(cfg, sd)
+
+    model = UNetMoreDDPM(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 6))
+    cond = jnp.zeros((1, 16, 16, 3))
+    ref = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cond)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref["params"])
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+    assert len(flat_ref) == len(flat_got), (len(flat_ref), len(flat_got))
+    for path, leaf in flat_ref:
+        assert path in flat_got, path
+        assert flat_got[path].shape == leaf.shape, (path, flat_got[path].shape, leaf.shape)
+
+    out = model.apply(variables, x, jnp.zeros((1,), jnp.int32), cond)
+    assert out.shape == (1, 16, 16, 6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+# --------------------------------------------------------------------------
+# Legacy UNet conversion
+# --------------------------------------------------------------------------
+
+
+def _synthetic_legacy_sd(cfg):
+    """Torch-style legacy UNet state dict (models/unet.py:175-299), replaying
+    the flat downblocks/middleblocks/upblocks construction."""
+    sd = {}
+    ch = cfg.model.ngf
+    mults = {"deep": (1, 2, 2, 2), "deeper": (1, 2, 2, 4, 4),
+             "deepest": (1, 2, 2, 2, 4, 4)}[cfg.model.depth]
+    ch_mult = [ch * m for m in mults]
+    n_ch = cfg.data.channels
+    nf_in = n_ch * (cfg.data.num_frames + cfg.data.num_frames_cond + cfg.data.num_frames_future)
+
+    def conv(key, cin, cout, k=3):
+        sd[f"{key}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+        sd[f"{key}.bias"] = torch.randn(cout) * 0.01
+
+    def gn(key, c):
+        sd[f"{key}.weight"] = torch.rand(c)
+        sd[f"{key}.bias"] = torch.rand(c)
+
+    def nin(key, cin, cout):
+        sd[f"{key}.weights"] = torch.randn(cout, cin) * 0.05
+        sd[f"{key}.bias"] = torch.zeros(cout)
+
+    def res(key, cin, cout):
+        gn(f"{key}.normalize0", cin)
+        conv(f"{key}.conv0", cin, cout)
+        sd[f"{key}.dense.weight"] = torch.randn(cout, ch * 4) * 0.05
+        sd[f"{key}.dense.bias"] = torch.zeros(cout)
+        gn(f"{key}.normalize1", cout)
+        conv(f"{key}.conv1", cout, cout)
+        if cin != cout:
+            nin(f"{key}.nin", cin, cout)
+
+    def attn(key, c):
+        gn(f"{key}.normalize", c)
+        for q in ("Q", "K", "V", "OUT"):
+            nin(f"{key}.{q}", c, c)
+
+    pre = "module.unet."
+    conv(f"{pre}downblocks.0", nf_in, ch)
+    ch_size = [ch]
+    idx, prev = 1, ch_mult[0]
+    for i, ich in enumerate(ch_mult):
+        for cin in (prev, ich):
+            res(f"{pre}downblocks.{idx}", cin, ich)
+            idx += 1
+            if i == 1:
+                attn(f"{pre}downblocks.{idx}", ich)
+                idx += 1
+            ch_size.append(ich)
+        if i != len(ch_mult) - 1:
+            conv(f"{pre}downblocks.{idx}", ich, ich)
+            idx += 1
+            ch_size.append(ich)
+        prev = ich
+
+    res(f"{pre}middleblocks.0", ch_mult[-1], ch_mult[-1])
+    attn(f"{pre}middleblocks.1", ch_mult[-1])
+    res(f"{pre}middleblocks.2", ch_mult[-1], ch_mult[-1])
+
+    idx, prev = 0, ch_mult[-1]
+    for i, ich in reversed(list(enumerate(ch_mult))):
+        for _ in range(3):
+            res(f"{pre}upblocks.{idx}", prev + ch_size.pop(), ich)
+            idx += 1
+            if i == 1:
+                attn(f"{pre}upblocks.{idx}", ich)
+                idx += 1
+            prev = ich
+        if i != 0:
+            conv(f"{pre}upblocks.{idx}.conv", ich, ich)
+            idx += 1
+
+    gn(f"{pre}normalize", ch)
+    out_ch = n_ch * cfg.data.num_frames
+    conv(f"{pre}out", ch, out_ch)
+    sd[f"{pre}temb_dense.0.weight"] = torch.randn(ch * 4, ch) * 0.05
+    sd[f"{pre}temb_dense.0.bias"] = torch.zeros(ch * 4)
+    sd[f"{pre}temb_dense.2.weight"] = torch.randn(ch * 4, ch * 4) * 0.05
+    sd[f"{pre}temb_dense.2.bias"] = torch.zeros(ch * 4)
+    return sd
+
+
+def test_legacy_conversion_full_tree():
+    from tvc.models.diffusion.unet_legacy import UNetDDPM
+    from tvc.utils.convert import convert_legacy_unet_state_dict
+
+    cfg = _tiny_cfg()
+    cfg.model.depth = "deep"
+    cfg.model.ngf = 8
+    sd = _synthetic_legacy_sd(cfg)
+    variables = convert_legacy_unet_state_dict(cfg, sd)
+
+    model = UNetDDPM(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 6))
+    cond = jnp.zeros((1, 16, 16, 3))
+    ref = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cond)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref["params"])
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+    assert len(flat_ref) == len(flat_got), (len(flat_ref), len(flat_got))
+    for path, leaf in flat_ref:
+        assert path in flat_got, path
+        assert flat_got[path].shape == leaf.shape, (path, flat_got[path].shape, leaf.shape)
+
+    out = model.apply(variables, x, jnp.zeros((1,), jnp.int32), cond)
+    assert out.shape == (1, 16, 16, 6)
+    assert np.all(np.isfinite(np.asarray(out)))

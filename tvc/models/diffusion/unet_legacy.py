@@ -16,8 +16,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from tvc.core.config import Config
-from tvc.models.diffusion.layers import GroupNormRef, get_timestep_embedding
+from tvc.models.diffusion.layers import get_timestep_embedding, num_groups_for
 from tvc.samplers.schedules import Schedule, get_sigmas
+
+
+class LegacyGroupNorm(nn.Module):
+    """`Normalize` (models/unet.py:45-46): fixed 32-group GroupNorm, eps=1e-6.
+
+    Unlike NCSN++'s group-count rule, the legacy net always uses 32 groups;
+    channel counts not divisible by 32 (tiny test nets) fall back to the
+    NCSN++ rule (torch would reject them outright)."""
+
+    ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ng = 32 if self.ch % 32 == 0 else num_groups_for(self.ch)
+        y = nn.GroupNorm(num_groups=ng, epsilon=1e-6, dtype=jnp.float32, name="gn")(
+            x.astype(jnp.float32))
+        return y.astype(self.dtype)
 
 
 class LegacyResnetBlock(nn.Module):
@@ -31,11 +49,11 @@ class LegacyResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, deterministic=True):
         in_ch = x.shape[-1]
-        h = nn.silu(GroupNormRef(ch=in_ch, eps=1e-6, dtype=self.dtype, name="norm1")(x))
+        h = nn.silu(LegacyGroupNorm(ch=in_ch, dtype=self.dtype, name="norm1")(x))
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         if self.temb and temb is not None:
             h = h + nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(nn.silu(temb))[:, None, None, :]
-        h = nn.silu(GroupNormRef(ch=self.out_ch, eps=1e-6, dtype=self.dtype, name="norm2")(h))
+        h = nn.silu(LegacyGroupNorm(ch=self.out_ch, dtype=self.dtype, name="norm2")(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
@@ -52,7 +70,7 @@ class LegacyAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hx = GroupNormRef(ch=c, eps=1e-6, dtype=self.dtype, name="norm")(x)
+        hx = LegacyGroupNorm(ch=c, dtype=self.dtype, name="norm")(x)
         q = nn.Dense(c, dtype=self.dtype, name="q")(hx).reshape(b, h * w, c)
         k = nn.Dense(c, dtype=self.dtype, name="k")(hx).reshape(b, h * w, c)
         v = nn.Dense(c, dtype=self.dtype, name="v")(hx).reshape(b, h * w, c)
@@ -132,7 +150,7 @@ class LegacyUNet(nn.Module):
                             name=f"up_conv{i}")(h)
         assert not hs
 
-        h = nn.silu(GroupNormRef(ch=ch, eps=1e-6, dtype=self.dtype, name="norm_out")(h))
+        h = nn.silu(LegacyGroupNorm(ch=ch, dtype=self.dtype, name="norm_out")(h))
         out_ch = n_channels * (num_frames + num_frames_cond) if cfg.model.output_all_frames \
             else n_channels * num_frames
         out = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out")(h)

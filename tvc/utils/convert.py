@@ -127,6 +127,180 @@ def load_diffusion_checkpoint(path: str, cfg: Config, use_ema: bool = True) -> D
 
 
 # --------------------------------------------------------------------------
+# SPADE NCSN++ (`model.spade: true`, ncsnpp_more.py:396-718)
+# --------------------------------------------------------------------------
+
+
+def _spade_actnorm(sd, key) -> Dict[str, Any]:
+    """get_act_norm 'spade' mode (layerspp.py:486-549 + MySPADE :101-173):
+    Dense_0 (when emb-conditioned) + Norm_0 = {mlp_shared.0, mlp_gamma,
+    mlp_beta} convs; param_free_norm is affine-free (no params)."""
+    m: Dict[str, Any] = {
+        "Norm_0": {
+            "mlp_shared": {"conv": _conv(sd, f"{key}.Norm_0.mlp_shared.0")},
+            "mlp_gamma": {"conv": _conv(sd, f"{key}.Norm_0.mlp_gamma")},
+            "mlp_beta": {"conv": _conv(sd, f"{key}.Norm_0.mlp_beta")},
+        }
+    }
+    if f"{key}.Dense_0.weight" in sd:
+        m["Dense_0"] = _dense(sd, f"{key}.Dense_0")
+    return m
+
+
+def convert_spade_state_dict(cfg: Config, sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a SPADE_NCSNpp `all_modules` state dict onto tvc's SPADENCSNpp.
+
+    The SPADE variant appends modules in the same order as NCSNpp
+    (ncsnpp_more.py:396-718 mirrors :70-249), so the NCSN++ plan drives the
+    walk; only the res-block and final-norm leaves differ."""
+    norm = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        norm[k] = v
+    sd = norm
+    prefix = "unet.all_modules" if any(k.startswith("unet.all_modules") for k in sd) else "all_modules"
+
+    spec = NCSNppSpec.from_config(cfg)
+    plan = _build_plan(spec)
+    unet: Dict[str, Any] = {}
+    for i, p in enumerate(plan):
+        key = f"{prefix}.{i}"
+        kind = p["kind"]
+        if kind == "dense":
+            unet[f"m{i}"] = _dense(sd, key)
+        elif kind == "embed":
+            unet[f"m{i}"] = {"embedding": _np(sd[f"{key}.weight"])}
+        elif kind == "conv3":
+            unet[f"m{i}"] = {"conv": _conv(sd, key)}
+        elif kind == "attn":
+            unet[f"m{i}"] = {
+                "GroupNorm_0": _gn(sd, f"{key}.GroupNorm_0"),
+                "NIN_0": _nin(sd, f"{key}.NIN_0"),
+                "NIN_1": _nin(sd, f"{key}.NIN_1"),
+                "NIN_2": _nin(sd, f"{key}.NIN_2"),
+                "NIN_3": _nin(sd, f"{key}.NIN_3"),
+            }
+        elif kind == "res":
+            m: Dict[str, Any] = {
+                "actnorm0": _spade_actnorm(sd, f"{key}.actnorm0"),
+                "Conv_0": {"conv": _conv(sd, f"{key}.Conv_0")},
+                "actnorm1": _spade_actnorm(sd, f"{key}.actnorm1"),
+                "Conv_1": {"conv": _conv(sd, f"{key}.Conv_1")},
+            }
+            if f"{key}.Conv_2.weight" in sd:
+                m["Conv_2"] = {"conv": _conv(sd, f"{key}.Conv_2")}
+            unet[f"m{i}"] = m
+        elif kind == "actnorm":
+            unet[f"m{i}"] = _spade_actnorm(sd, key)
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    return {"params": {"unet": unet}}
+
+
+# --------------------------------------------------------------------------
+# Legacy UNet (`arch: unet`, models/unet.py:175-299)
+# --------------------------------------------------------------------------
+
+
+def _legacy_gn(sd, key) -> Dict[str, Any]:
+    return {"gn": {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}}
+
+
+def _legacy_nin(sd, key) -> Dict[str, np.ndarray]:
+    # torch Nin stores weights (out, in) + bias (models/unet.py:53-57);
+    # tvc uses nn.Dense -> kernel (in, out)
+    return {"kernel": _np(sd[f"{key}.weights"]).T, "bias": _np(sd[f"{key}.bias"])}
+
+
+def _legacy_res(sd, key) -> Dict[str, Any]:
+    m: Dict[str, Any] = {
+        "norm1": _legacy_gn(sd, f"{key}.normalize0"),
+        "conv1": _conv(sd, f"{key}.conv0"),
+        "norm2": _legacy_gn(sd, f"{key}.normalize1"),
+        "conv2": _conv(sd, f"{key}.conv1"),
+    }
+    if f"{key}.dense.weight" in sd:
+        m["temb_proj"] = _dense(sd, f"{key}.dense")
+    if f"{key}.nin.weights" in sd:
+        m["nin"] = _legacy_nin(sd, f"{key}.nin")
+    return m
+
+
+def _legacy_attn(sd, key) -> Dict[str, Any]:
+    return {
+        "norm": _legacy_gn(sd, f"{key}.normalize"),
+        "q": _legacy_nin(sd, f"{key}.Q"),
+        "k": _legacy_nin(sd, f"{key}.K"),
+        "v": _legacy_nin(sd, f"{key}.V"),
+        "proj": _legacy_nin(sd, f"{key}.OUT"),
+    }
+
+
+def convert_legacy_unet_state_dict(cfg: Config, sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a legacy `UNet` state dict (models/unet.py:175-299, wrapped by
+    UNet_SMLD/UNet_DDPM as `unet.`) onto {'params': {'unet': ...}}.
+
+    The torch net appends modules to flat downblocks/middleblocks/upblocks
+    ModuleLists; the converter replays the construction loop to recover which
+    index is which."""
+    norm = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        norm[k] = v
+    sd = norm
+    pre = "unet." if any(k.startswith("unet.") for k in sd) else ""
+
+    mults = {"deep": (1, 2, 2, 2), "deeper": (1, 2, 2, 4, 4),
+             "deepest": (1, 2, 2, 2, 4, 4)}[cfg.model.depth]
+    unet: Dict[str, Any] = {}
+
+    # DOWN (models/unet.py:206-223): conv_in, then per level 2x(res [+attn at
+    # i==1]) and a stride-2 conv between levels
+    unet["conv_in"] = _conv(sd, f"{pre}downblocks.0")
+    idx, k = 1, 0
+    for i in range(len(mults)):
+        for _ in range(2):
+            unet[f"down_res{k}"] = _legacy_res(sd, f"{pre}downblocks.{idx}")
+            idx += 1
+            if i == 1:
+                unet[f"down_attn{k}"] = _legacy_attn(sd, f"{pre}downblocks.{idx}")
+                idx += 1
+            k += 1
+        if i != len(mults) - 1:
+            unet[f"down_conv{i}"] = _conv(sd, f"{pre}downblocks.{idx}")
+            idx += 1
+
+    # MIDDLE (models/unet.py:226-229)
+    unet["mid_res1"] = _legacy_res(sd, f"{pre}middleblocks.0")
+    unet["mid_attn"] = _legacy_attn(sd, f"{pre}middleblocks.1")
+    unet["mid_res2"] = _legacy_res(sd, f"{pre}middleblocks.2")
+
+    # UP (models/unet.py:232-240): per reversed level 3x(res [+attn]) then
+    # Upsample (.conv) between levels
+    idx, k = 0, 0
+    for i in reversed(range(len(mults))):
+        for _ in range(3):
+            unet[f"up_res{k}"] = _legacy_res(sd, f"{pre}upblocks.{idx}")
+            idx += 1
+            if i == 1:
+                unet[f"up_attn{k}"] = _legacy_attn(sd, f"{pre}upblocks.{idx}")
+                idx += 1
+            k += 1
+        if i != 0:
+            unet[f"up_conv{i}"] = _conv(sd, f"{pre}upblocks.{idx}.conv")
+            idx += 1
+
+    unet["norm_out"] = _legacy_gn(sd, f"{pre}normalize")
+    unet["conv_out"] = _conv(sd, f"{pre}out")
+    if f"{pre}temb_dense.0.weight" in sd:
+        unet["temb_dense1"] = _dense(sd, f"{pre}temb_dense.0")
+        unet["temb_dense2"] = _dense(sd, f"{pre}temb_dense.2")
+    return {"params": {"unet": unet}}
+
+
+# --------------------------------------------------------------------------
 # ELIC codec
 # --------------------------------------------------------------------------
 
