@@ -38,6 +38,7 @@ compatible with the reference coder given equal parameters.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -71,11 +72,11 @@ def _stage_fns(m: ELICModel) -> dict:
     def _enc(v, x):
         """g_a + h_a + checkerboard-pack the latents for symbol extraction.
 
-        Returns (y, z, packed) where packed = [anchor(y) ‖ nonanchor(y)] in
+        Returns (z, packed) where packed = [anchor(y) ‖ nonanchor(y)] in
         packed H x W/2 layout — one host fetch covers all slices' symbols."""
         y, z = m.apply(v, x, method=ELICModel.encode_transforms)
         packed = jnp.concatenate([cb.pack_anchor(y), cb.pack_nonanchor(y)], axis=-1)
-        return y, z, packed
+        return z, packed
 
     def _hyp(v, z_hat):
         return m.apply(v, z_hat, method=ELICModel.hyper_params)
@@ -192,6 +193,17 @@ class ELICCoder:
         decoded = np.round(y_packed_cf - mu_cf).astype(np.float32) + np.asarray(mu_cf, np.float32)
         return strings, _to_clast(decoded)
 
+    def _code_phase_async(self, pool, y_packed_cf, mu_cf, sc_cf):
+        """Like _code_phase, but the rANS encode runs on a worker thread.
+
+        Nothing downstream of compress needs the bytes (the decoded values are
+        computed directly), so the serial C++ coder — which releases the GIL
+        inside the ctypes call — overlaps with the next slice's host-CPU
+        entropy-parameter programs. Returns (future_of_strings, decoded)."""
+        fut = pool.submit(self.gc.compress, y_packed_cf, self.gc.build_indexes(sc_cf), mu_cf)
+        decoded = np.round(y_packed_cf - mu_cf).astype(np.float32) + np.asarray(mu_cf, np.float32)
+        return fut, _to_clast(decoded)
+
     # ---------------- compress ----------------
 
     def compress(self, x: np.ndarray, return_recon: bool = False,
@@ -224,9 +236,7 @@ class ELICCoder:
         groups = self.model.groups
 
         t0 = time.time()
-        _, z, y_packed = fns["enc"](v, jnp.asarray(x, jnp.float32))
-        z_np = np.asarray(z)
-        y_packed_np = np.asarray(y_packed)
+        z_np, y_packed_np = jax.device_get(fns["enc"](v, jnp.asarray(x, jnp.float32)))
         t_enc = time.time() - t0
 
         t0 = time.time()
@@ -242,29 +252,31 @@ class ELICCoder:
         offs = np.concatenate([[0], np.cumsum(groups)])
 
         t0 = time.time()
-        y_strings: List[List[List[bytes]]] = []
+        string_futs: List[List[Any]] = []
         anchor_decs: List[np.ndarray] = []
         nonanchor_qs: List[np.ndarray] = []
         y_hat_first = None
         y_anchor_dec_prev = packed_nonanchor_prev = None
-        for i in range(self.model.num_slices):
-            sup, y_hat_first, pa = fns["phase1"][i](
-                self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
-            )
-            mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
-            ya_cf = _to_cfirst(y_packed_np[..., offs[i] : offs[i + 1]])
-            anchor_strings, anchor_q = self._code_phase(ya_cf, mu_a, sc_a)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for i in range(self.model.num_slices):
+                sup, y_hat_first, pa = fns["phase1"][i](
+                    self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
+                )
+                mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
+                ya_cf = _to_cfirst(y_packed_np[..., offs[i] : offs[i + 1]])
+                anchor_fut, anchor_q = self._code_phase_async(pool, ya_cf, mu_a, sc_a)
 
-            y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
-            mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
-            yn_cf = _to_cfirst(y_packed_np[..., M + offs[i] : M + offs[i + 1]])
-            non_anchor_strings, non_anchor_q = self._code_phase(yn_cf, mu_n, sc_n)
+                y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
+                mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
+                yn_cf = _to_cfirst(y_packed_np[..., M + offs[i] : M + offs[i + 1]])
+                non_anchor_fut, non_anchor_q = self._code_phase_async(pool, yn_cf, mu_n, sc_n)
 
-            y_anchor_dec_prev = y_anchor_dec
-            packed_nonanchor_prev = non_anchor_q
-            anchor_decs.append(np.asarray(y_anchor_dec))
-            nonanchor_qs.append(non_anchor_q)
-            y_strings.append([anchor_strings, non_anchor_strings])
+                y_anchor_dec_prev = y_anchor_dec
+                packed_nonanchor_prev = non_anchor_q
+                anchor_decs.append(np.asarray(y_anchor_dec))
+                nonanchor_qs.append(non_anchor_q)
+                string_futs.append([anchor_fut, non_anchor_fut])
+            y_strings = [[a.result(), n.result()] for a, n in string_futs]
         t_params = time.time() - t0
 
         out = {
@@ -284,13 +296,13 @@ class ELICCoder:
         fns = self._fns
         groups = self.model.groups
         t0 = time.time()
-        dev = fns["comp"](v, jnp.asarray(x, jnp.float32), return_recon)
-        z_sym = np.asarray(dev["z_sym"])
-        y_packed_np = np.asarray(dev["y_packed"])
-        pa_np = np.asarray(dev["pa"])
-        pn_np = np.asarray(dev["pn"])
+        dev = jax.device_get(fns["comp"](v, jnp.asarray(x, jnp.float32), return_recon))
+        z_sym = dev["z_sym"]
+        y_packed_np = dev["y_packed"]
+        pa_np = dev["pa"]
+        pn_np = dev["pn"]
         if return_recon:
-            x_hat = np.asarray(dev["x_hat"])
+            x_hat = dev["x_hat"]
         t_enc = time.time() - t0
 
         t0 = time.time()
