@@ -49,6 +49,8 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--codec-ckpts", nargs="*", default=None,
                     help="ELIC checkpoints q0..q5 (.pth.tar)")
     ap.add_argument("--qualities", nargs="*", type=int, default=[4, 5])
+    ap.add_argument("--thresholds", nargs="*", type=float, default=None,
+                    help="decision-threshold walk (default: 0.30..0.03 step -0.01)")
     ap.add_argument("--no-fvd", action="store_true")
     ap.add_argument("--i3d-ckpt", type=str, default=None)
     ap.add_argument("--lpips-alex", type=str, default=None, help="torchvision alexnet .pth")
@@ -116,7 +118,8 @@ def cmd_sweep(argv: List[str]) -> int:
         run_sweep_batched(
             cfg, data, coders, predictor, args.output_path,
             start_idx=args.start_idx, end_idx=args.end_idx,
-            qualities=args.qualities, batch_size=args.batched,
+            qualities=args.qualities, thresholds=args.thresholds,
+            batch_size=args.batched,
             with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
             num_processes=args.num_processes, process_id=args.process_id,
         )
@@ -124,7 +127,8 @@ def cmd_sweep(argv: List[str]) -> int:
         run_sweep(
             cfg, data, coders, predictor, args.output_path,
             start_idx=args.start_idx, end_idx=args.end_idx,
-            qualities=args.qualities, with_fvd=not args.no_fvd,
+            qualities=args.qualities, thresholds=args.thresholds,
+            with_fvd=not args.no_fvd,
             lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
         )

@@ -117,6 +117,11 @@ class CodecConfig:
     num_slices: int = 5
     groups: Tuple[int, ...] = (16, 16, 32, 64, 192)  # uneven channel groups
     patch: int = 64  # pad H,W to multiples of this before coding
+    # In-process sweeps default to the fused single-device-program simulation
+    # (the reference's own semantics: city_sender.py simulates both ends in
+    # one process). The transmissible TVC1 container path always forces
+    # exact=True streams regardless of this flag (tvc/pipeline/sender.py).
+    exact_streams: bool = False
 
 
 @dataclass

@@ -95,7 +95,8 @@ class BatchedGOPRunner:
         init_bits: Dict[int, List[int]] = {}
         for q, idxs in by_q.items():
             frames = np.concatenate([jobs[i].video[:nc] for i in idxs], axis=0)
-            dec, bits = code_frames(self.coders[q], frames, patch)
+            dec, bits = code_frames(self.coders[q], frames, patch,
+                                    exact=cfg.codec.exact_streams)
             for slot, i in enumerate(idxs):
                 init_dec[i] = dec[slot * nc : (slot + 1) * nc]
                 init_bits[i] = bits[slot * nc : (slot + 1) * nc]
@@ -136,7 +137,8 @@ class BatchedGOPRunner:
                 frames = np.concatenate(
                     [states[i].job.video[states[i].x_ge.shape[0] : states[i].x_ge.shape[0] + nc]
                      for i in idxs], axis=0)
-                dec, bits = code_frames(self.coders[q], frames, patch)
+                dec, bits = code_frames(self.coders[q], frames, patch,
+                                    exact=cfg.codec.exact_streams)
                 for slot, i in enumerate(idxs):
                     st = states[i]
                     st.x_ge = np.concatenate([st.x_ge, dec[slot * nc : (slot + 1) * nc]], axis=0)

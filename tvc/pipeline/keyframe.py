@@ -37,9 +37,12 @@ def per_frame_bits(strings, batch: int) -> List[int]:
     return bits
 
 
-def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64) -> Tuple[np.ndarray, List[int]]:
+def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64,
+                exact: bool = True) -> Tuple[np.ndarray, List[int]]:
     """Encode+decode a (T,H,W,3) [0,1] frame stack through the real bitstream.
 
+    exact=False uses the fused one-device-program simulation compress (see
+    ELICCoder.compress) — the in-process fast path for rate sweeps.
     Returns (decoded frames (T,H,W,3), per-frame bit counts).
     """
     frames = np.asarray(frames, np.float32)
@@ -47,6 +50,6 @@ def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64) -> Tuple[
     x, (pad_b, pad_r) = pad_to_multiple(frames, patch)
     # sender fast path: reconstruction comes from the compress-side decoded
     # latents (== decompress() output by construction; asserted in tests)
-    enc = coder.compress(x, return_recon=True)
+    enc = coder.compress(x, return_recon=True, exact=exact)
     x_hat = enc["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
     return x_hat, per_frame_bits(enc["strings"], t)

@@ -135,7 +135,8 @@ def run_gop(
             dec = enc["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
             containers.append(container.serialize(enc))
             return dec, per_frame_bits(enc["strings"], frames.shape[0])
-        return code_frames(coder, frames, patch)
+        return code_frames(coder, frames, patch,
+                           exact=sender.cfg.codec.exact_streams)
 
     containers: List[bytes] = []
     dec0, bits0 = code(video_gt[:nc])
@@ -210,6 +211,9 @@ def rate_sweep(
             sender = Sender(threshold=rho, cfg=cfg, predictor=predictor, lpips=lpips_metric)
             gop = run_gop(sender, coder, video_gt, sub, num_frames_total, cfg.codec.patch)
             if gop.bpp >= bpp_stop:
+                if verbose:
+                    print(f"q={q} rho={rho:.2f}: bpp {gop.bpp:.4f} >= "
+                          f"{bpp_stop} — stopping threshold walk")
                 break
             psnr_list = [psnr(gop.x_ge[0, i], video_gt[i]) for i in range(num_frames_total)]
             lpips_list = [
