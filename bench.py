@@ -59,6 +59,8 @@ def main():
         "t_unet_step_s": round(res.t_unet_step, 4),
         "t_cycle100_s": round(res.t_cycle, 3),
         "t_keyframe_pair_s": round(res.t_keyframe_pair, 3),
+        "t_keyframe_pair_fused_s": round(res.t_keyframe_pair_fused, 3),
+        "codec_path": "exact (transmissible bitstream, host rANS)",
         "compile_s": round(res.compile_time, 1),
         "bench_wall_s": round(wall, 1),
     }

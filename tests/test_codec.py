@@ -181,3 +181,31 @@ def test_batch_compress(model_and_vars):
     # per-element streams: 5 slices x [anchor, nonanchor] x batch 2
     assert len(enc["strings"][0]) == 5
     assert len(enc["strings"][0][0][0]) == 2
+
+
+def test_subpixel_deconv_equals_conv_transpose():
+    """Deconv's subpixel decomposition must equal the lhs-dilated
+    ConvTranspose it replaces (torch ConvTranspose k5 s2 p2 op1 semantics),
+    sharing the exact same (kh,kw,O,I) kernel parameter."""
+    import flax.linen as nn
+    from tvc.models.codec.layers import Deconv
+
+    class Ref(nn.Module):
+        out_ch: int
+
+        @nn.compact
+        def __call__(self, x):
+            y = nn.ConvTranspose(self.out_ch, (5, 5), strides=(2, 2),
+                                 padding="VALID", transpose_kernel=True,
+                                 name="conv")(x)
+            h, w = y.shape[1], y.shape[2]
+            return y[:, 2 : h - 1, 2 : w - 1, :]
+
+    for shape, out in [((2, 2, 2, 24), 16), ((1, 4, 6, 8), 5)]:
+        x = jax.random.normal(jax.random.PRNGKey(1), shape)
+        ref = Ref(out)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        got = Deconv(out).apply(v, x)
+        want = ref.apply(v, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)

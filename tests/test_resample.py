@@ -121,3 +121,22 @@ def test_naive_resamplers():
     np.testing.assert_allclose(np.asarray(up)[0, ::2, ::2], np.asarray(x)[0], atol=0)
     down = naive_downsample_2d(up)
     np.testing.assert_allclose(np.asarray(down), np.asarray(x), atol=1e-6)
+
+
+def test_polyphase_fast_path_matches_oracle():
+    """upsample_2d/downsample_2d (factor=2, separable 4-tap = the NCSN++
+    default) take a polyphase shift-and-add path; it must match the upfirdn
+    numpy oracle exactly like the generic conv path does."""
+    rng = np.random.RandomState(0)
+    for shape in [(2, 8, 8, 3), (1, 6, 10, 5)]:
+        x = rng.randn(*shape).astype(np.float32)
+        for gain in (1.0, 2.0):
+            kk = setup_kernel([1, 3, 3, 1]) * (gain * 4)
+            p = kk.shape[0] - 2
+            ref = upfirdn2d_ref(x, kk, up=2, pad=((p + 1) // 2 + 1, p // 2))
+            got = np.asarray(upsample_2d(jnp.asarray(x), gain=gain))
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+            kk = setup_kernel([1, 3, 3, 1]) * gain
+            refd = upfirdn2d_ref(x, kk, down=2, pad=((p + 1) // 2, p // 2))
+            gotd = np.asarray(downsample_2d(jnp.asarray(x), gain=gain))
+            np.testing.assert_allclose(gotd, refd, atol=1e-5)

@@ -3,8 +3,12 @@
 Measures the two cost centers of the sender (SURVEY.md §3):
 1. one diffusion prediction cycle — a full subsampled-DDPM sampling sweep of
    the 262M-parameter UNet producing 5 frames (>99% of FLOPs);
-2. one keyframe pair through the real ELIC bitstream path (encode+decode,
-   including host rANS).
+2. one keyframe pair through the ELIC codec. BOTH codec paths are timed and
+   logged: `exact` (the transmissible bitstream path — host-CPU
+   entropy-parameter programs + host rANS, what a real receiver decodes) and
+   `fused` (single-device-program simulation). The GOP headline uses the
+   exact path, matching the reference's real-bitstream semantics
+   (Network.py:336-441 runs rANS encode+decode inside its sweep).
 
 The reference's worst case is ~240 s per 30-frame video (~0.125 frames/s):
 <=5 generation cycles x 100 DDPM steps plus keyframe codings (BASELINE.md).
@@ -38,10 +42,11 @@ def _log(msg: str) -> None:
 class BenchResult:
     t_unet_step: float
     t_cycle: float
-    t_keyframe_pair: float
+    t_keyframe_pair: float        # exact transmissible path (GOP headline)
     fps_gop: float
     n_sample_steps: int
     compile_time: float
+    t_keyframe_pair_fused: float = 0.0  # fused device-simulation path
 
 
 def bench_pipeline(
@@ -60,7 +65,7 @@ def bench_pipeline(
 
     _log("building flagship predictor (fast init)")
     predictor = FramePredictor.create(cfg, jax.random.PRNGKey(seed), dtype=dtype,
-                                      fast_init=True)
+                                      fast_init=True, params_dtype=dtype)
     size = cfg.data.image_size
     c = cfg.data.channels
     cond = jnp.zeros((batch, size, size, c * cfg.data.num_frames_cond), dtype)
@@ -86,7 +91,8 @@ def bench_pipeline(
             coder = ELICCoder(model, variables)
             frames = np.random.RandomState(0).rand(2, 128, 128, 3).astype(np.float32)
             t0 = time.time()
-            code_frames(coder, frames, exact=cfg.codec.exact_streams)  # compile all stages
+            code_frames(coder, frames, exact=True)   # compile exact-path stages
+            code_frames(coder, frames, exact=False)  # compile fused program
             _log(f"codec: compiled+ran in {time.time() - t0:.1f}s")
             codec_result["coder"] = coder
             codec_result["frames"] = frames
@@ -115,7 +121,7 @@ def bench_pipeline(
     t_step = t_cycle / (n_steps + 1)  # +1: final denoise step
     _log(f"steady cycle: {t_cycle:.3f}s ({t_step * 1e3:.2f} ms/step)")
 
-    t_pair = 0.0
+    t_pair = t_pair_fused = 0.0
     if worker is not None:
         worker.join()
         if "coder" in codec_result:
@@ -123,23 +129,31 @@ def bench_pipeline(
 
             coder = codec_result["coder"]
             frames = codec_result["frames"]
-            times = []
-            for _ in range(5):
-                t0 = time.time()
-                code_frames(coder, frames, exact=cfg.codec.exact_streams)
-                times.append(time.time() - t0)
-            t_pair = float(np.median(times))
-            _log(f"codec: keyframe pair {t_pair:.3f}s (median of {len(times)})")
+
+            def time_pair(exact: bool) -> float:
+                times = []
+                for _ in range(5):
+                    t0 = time.time()
+                    code_frames(coder, frames, exact=exact)
+                    times.append(time.time() - t0)
+                return float(np.median(times))
+
+            t_pair = time_pair(exact=True)
+            t_pair_fused = time_pair(exact=False)
+            _log(f"codec: keyframe pair exact={t_pair:.3f}s "
+                 f"fused={t_pair_fused:.3f}s (medians of 5; GOP model uses "
+                 f"the exact transmissible path)")
 
     # scale a measured cycle to the reference's 100-step budget if subsampled;
     # the fixed per-call dispatch overhead (remote-tunnel RTT on axon) must
     # not be multiplied by the step-count ratio
     if n_steps < 100:
         noop = jax.jit(lambda x: x + 1.0)
-        np.asarray(noop(jnp.zeros((8, 128))))  # compile
+        operand = jnp.zeros((8, 128))
+        np.asarray(noop(operand))  # compile
         t0 = time.time()
         for _ in range(5):
-            np.asarray(noop(jnp.zeros((8, 128))))
+            np.asarray(noop(operand))
         t_dispatch = (time.time() - t0) / 5
         _log(f"dispatch overhead: {t_dispatch * 1e3:.1f} ms/call")
         t_cycle_100 = t_dispatch + max(t_cycle - t_dispatch, 0.0) * (
@@ -157,4 +171,5 @@ def bench_pipeline(
         fps_gop=fps,
         n_sample_steps=n_steps,
         compile_time=compile_time,
+        t_keyframe_pair_fused=t_pair_fused,
     )

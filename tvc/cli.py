@@ -57,6 +57,12 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--lpips-lin", type=str, default=None, help="lpips linear heads .pth")
     ap.add_argument("--bench-264", type=str, default=None)
     ap.add_argument("--bench-265", type=str, default=None)
+    ap.add_argument("--exact-streams", action="store_true",
+                    help="code keyframes through the exact transmissible "
+                         "bitstream path (host-CPU entropy-parameter programs "
+                         "shared with the receiver) instead of the default "
+                         "fused device simulation; results match what a real "
+                         "receiver decodes, at higher per-keyframe cost")
     ap.add_argument("--batched", type=int, default=0,
                     help="run all (video,q,rho) jobs as lockstep-batched GOP "
                          "chains with this batch size (0 = sequential)")
@@ -69,6 +75,11 @@ def cmd_sweep(argv: List[str]) -> int:
     import jax.numpy as jnp
 
     cfg = _load_cfg(args)
+    if args.exact_streams:
+        cfg.codec.exact_streams = True
+    else:
+        print("[tvc] codec path: fused device simulation (pass "
+              "--exact-streams for receiver-bit-exact keyframe coding)")
 
     from tvc.metrics.fvd import FVDMetric
     from tvc.metrics.lpips import LPIPSMetric

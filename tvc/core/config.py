@@ -119,8 +119,14 @@ class CodecConfig:
     patch: int = 64  # pad H,W to multiples of this before coding
     # In-process sweeps default to the fused single-device-program simulation
     # (the reference's own semantics: city_sender.py simulates both ends in
-    # one process). The transmissible TVC1 container path always forces
-    # exact=True streams regardless of this flag (tvc/pipeline/sender.py).
+    # one process). NOTE this default changed in round 1: fused symbols come
+    # from device arithmetic round(y - mu), so sweep recon/bpp/decisions can
+    # differ at quantization boundaries from what a real receiver decodes;
+    # pass `tvc sweep --exact-streams` (or set this True) to route sweeps
+    # through the host-CPU entropy-parameter programs whose streams a
+    # separately-running receiver decodes bit-exactly. The transmissible TVC1
+    # container path always forces exact=True regardless of this flag
+    # (tvc/pipeline/sender.py run_gop keep_streams branch).
     exact_streams: bool = False
 
 

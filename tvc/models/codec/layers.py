@@ -47,12 +47,33 @@ class Conv(nn.Module):
         )(x)
 
 
+class _TransposeKernelParams(nn.Module):
+    """Holds a torch-ConvTranspose-layout kernel (kh,kw,O,I) + bias (O,) under
+    the same param names nn.ConvTranspose(transpose_kernel=True) would create,
+    so checkpoint conversion (tvc/utils/convert.py:_deconv) is unchanged."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[2],))
+        return kernel, bias
+
+
 class Deconv(nn.Module):
     """compressai `deconv`: ConvTranspose k5 s2, output_padding=s-1, pad k//2.
 
-    Torch output size: (H-1)*s - 2*p + k + (s-1). Flax ConvTranspose with
-    padding list ((a, b), ...) trims; we compute the equivalent trim so shapes
-    match torch exactly (H*2 for k5 s2 p2).
+    Torch output size: (H-1)*s - 2*p + k + (s-1) = 2H for k5 s2 p2 op1.
+
+    Computed as a SUBPIXEL decomposition instead of an lhs-dilated conv:
+    out[2m+rh, 2n+rw] = a stride-1 conv of x with the parity-(rh,rw)
+    subsampled kernel, so one (ceil(k/2))^2 conv to 4*out_ch channels + a
+    pixel-shuffle interleave replaces conv_transpose. Mathematically identical
+    (asserted vs nn.ConvTranspose in tests/test_codec.py); chosen because the
+    host-CPU entropy-parameter programs (coding.py) hit XLA-CPU's very slow
+    conv_transpose lowering (~30 ms for h_s_2 at 4x4 spatial, vs ~1 ms this
+    way), and on TPU a stride-1 conv maps onto the MXU at least as well.
     """
 
     out_ch: int
@@ -65,22 +86,51 @@ class Deconv(nn.Module):
     def __call__(self, x):
         k, s = self.kernel_size, self.stride
         p = k // 2
-        # full (VALID) transpose output = (H-1)*s + k; torch keeps
-        # (H-1)*s + k - 2p + (s-1) = s*H for k=5,s=2,p=2,op=1 — crop p from the
-        # start and p-(s-1) from the end explicitly.
-        y = nn.ConvTranspose(
-            self.out_ch,
-            (k, k),
-            strides=(s, s),
-            padding="VALID",
-            transpose_kernel=True,  # matches torch ConvTranspose weight layout
-            dtype=self.dtype,
+        in_ch = x.shape[-1]
+        if not (s == 2 and k == 5):
+            # generic fallback (library capability; every codec deconv is k5 s2)
+            y = nn.ConvTranspose(
+                self.out_ch, (k, k), strides=(s, s), padding="VALID",
+                transpose_kernel=True, dtype=self.dtype,
+                precision=self.precision, name="conv",
+            )(x)
+            end = p - (s - 1)
+            h, w = y.shape[1], y.shape[2]
+            return y[:, p : h - end, p : w - end, :]
+
+        kernel, bias = _TransposeKernelParams((k, k, self.out_ch, in_ch), name="conv")()
+        kernel = kernel.astype(self.dtype)
+        # out[2m+r] = sum_j x[m+j-1] * W[r + 2p - 2j]  (zero where kh outside
+        # [0,k)): parity-r taps of the cropped transpose conv. Build the fused
+        # (3,3,I,4O) stride-1 kernel, parities ordered (rh,rw) row-major.
+        T = p + 1  # 3 taps per axis for k=5
+
+        def w_or_zero(kh, kw):
+            if 0 <= kh < k and 0 <= kw < k:
+                return kernel[kh, kw].T  # (I, O)
+            return jnp.zeros((in_ch, self.out_ch), self.dtype)
+
+        parities = []
+        for rh in (0, 1):
+            for rw in (0, 1):
+                rows = [
+                    jnp.stack([w_or_zero(rh + 2 * p - 2 * a, rw + 2 * p - 2 * b)
+                               for b in range(T)], axis=0)
+                    for a in range(T)
+                ]
+                parities.append(jnp.stack(rows, axis=0))  # (T,T,I,O)
+        K = jnp.concatenate(parities, axis=-1)  # (T,T,I,4O)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), K, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=self.precision,
-            name="conv",
-        )(x)
-        end = p - (s - 1)
-        h, w = y.shape[1], y.shape[2]
-        return y[:, p : h - end, p : w - end, :]
+        )
+        b_, h, w = y.shape[0], y.shape[1], y.shape[2]
+        y = y.reshape(b_, h, w, 2, 2, self.out_ch)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w, self.out_ch)
+        return y + bias.astype(self.dtype)
 
 
 class Conv1x1(nn.Module):

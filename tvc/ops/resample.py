@@ -21,7 +21,7 @@ Semantics match ``upfirdn2d_native`` (`models/better/op/upfirdn2d.py:163-204`):
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,15 +75,95 @@ def upfirdn2d(
     )
 
 
+def _polyphase_enabled() -> bool:
+    import os
+
+    return os.environ.get("TVC_POLYPHASE", "1") != "0"
+
+
+def _separable_4tap(k: Sequence[float]) -> Optional[np.ndarray]:
+    """Return the normalized 1-D kernel if ``k`` is a separable 4-tap FIR."""
+    if not _polyphase_enabled():
+        return None
+    ka = np.asarray(k, dtype=np.float64)
+    if ka.ndim == 1 and ka.shape[0] == 4:
+        return ka / np.sum(ka)
+    return None
+
+
+def _upsample2x_axis(x: jax.Array, k4: np.ndarray, axis: int) -> jax.Array:
+    """Polyphase 2x upsample along one spatial axis with a 4-tap FIR.
+
+    Derivation from upfirdn(up=2, pad=(2,2)) with the flipped kernel:
+      out[2m]   = k[3]*x[m-1] + k[1]*x[m]
+      out[2m+1] = k[2]*x[m]   + k[0]*x[m+1]
+    i.e. 4 fused multiply-adds per output instead of a zero-stuffed dilated
+    depthwise conv (which pays for the 75% zero taps and bypasses the MXU)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad)
+    n = x.shape[axis]
+
+    def sl(start):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + n)
+        return xp[tuple(idx)]
+
+    even = k4[3] * sl(0) + k4[1] * sl(1)
+    odd = k4[2] * sl(1) + k4[0] * sl(2)
+    # interleave even/odd along `axis`
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return stacked.reshape(new_shape)
+
+
+def _downsample2x_axis(x: jax.Array, k4: np.ndarray, axis: int) -> jax.Array:
+    """Polyphase 2x downsample along one spatial axis with a 4-tap FIR.
+
+    From upfirdn(down=2, pad=(1,1)):
+      out[m] = k[3]*x[2m-1] + k[2]*x[2m] + k[1]*x[2m+1] + k[0]*x[2m+2]."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad)
+    m = x.shape[axis] // 2
+
+    def sl(start):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + 2 * m, 2)
+        return xp[tuple(idx)]
+
+    return k4[3] * sl(0) + k4[2] * sl(1) + k4[1] * sl(2) + k4[0] * sl(3)
+
+
 def upsample_2d(x: jax.Array, k: Sequence[float] = (1, 3, 3, 1), factor: int = 2, gain: float = 1.0) -> jax.Array:
-    """FIR upsample by ``factor`` (reference: up_or_down_sampling.py:196-225)."""
+    """FIR upsample by ``factor`` (reference: up_or_down_sampling.py:196-225).
+
+    factor=2 with a separable 4-tap kernel (the NCSN++ default [1,3,3,1])
+    takes the polyphase shift-and-add fast path; anything else falls back to
+    the generic upfirdn2d conv."""
+    k4 = _separable_4tap(k)
+    if factor == 2 and k4 is not None:
+        scale = np.float64(gain * factor ** 2)
+        k4s = (k4 * np.sqrt(scale)).astype(np.float64)
+        kh = jnp.asarray(k4s, x.dtype)
+        y = _upsample2x_axis(x, kh, axis=1)
+        return _upsample2x_axis(y, kh, axis=2)
     kk = setup_kernel(k) * (gain * (factor ** 2))
     p = kk.shape[0] - factor
     return upfirdn2d(x, kk, up=factor, pad=((p + 1) // 2 + factor - 1, p // 2))
 
 
 def downsample_2d(x: jax.Array, k: Sequence[float] = (1, 3, 3, 1), factor: int = 2, gain: float = 1.0) -> jax.Array:
-    """FIR downsample by ``factor`` (reference: up_or_down_sampling.py:228-258)."""
+    """FIR downsample by ``factor`` (reference: up_or_down_sampling.py:228-258).
+
+    factor=2 + separable 4-tap kernel takes the polyphase fast path."""
+    k4 = _separable_4tap(k)
+    if factor == 2 and k4 is not None:
+        k4s = (k4 * np.sqrt(np.float64(gain))).astype(np.float64)
+        kh = jnp.asarray(k4s, x.dtype)
+        y = _downsample2x_axis(x, kh, axis=1)
+        return _downsample2x_axis(y, kh, axis=2)
     kk = setup_kernel(k) * gain
     p = kk.shape[0] - factor
     return upfirdn2d(x, kk, down=factor, pad=((p + 1) // 2, p // 2))

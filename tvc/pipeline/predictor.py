@@ -26,10 +26,21 @@ class FramePredictor:
     """Bundles UNet params + schedule + jitted sampling closure."""
 
     def __init__(self, cfg: Config, variables: dict, sampler_version: Optional[str] = None,
-                 dtype=jnp.float32, mesh=None, data_sharding=None):
+                 dtype=jnp.float32, mesh=None, data_sharding=None,
+                 params_dtype=None):
         self.cfg = cfg
         self.dtype = dtype
         self.model = UNetMoreDDPM(cfg=cfg, dtype=dtype)
+        if params_dtype is not None:
+            # Store the weights in the compute dtype (usually bf16). At B=1
+            # the deep UNet levels are weight-streaming-bound, so keeping f32
+            # masters on device doubles the per-step HBM traffic for a cast
+            # the model would do anyway. Quality paths keep f32 (default).
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(params_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables,
+            )
         self.variables = variables
         self.schedule = Schedule.from_config(cfg)
         self.version = (sampler_version or cfg.model.version).upper()

@@ -194,16 +194,17 @@ def rate_sweep(
     num_frames_total: int = 30,
     bpp_stop: float = 1.0,
     artifact_cb: Optional[Callable] = None,  # (quality, threshold, x_ge) per point
+    verbose: bool = True,
 ) -> List[RatePoint]:
     """(quality x threshold) sweep over one video (city_sender.py:495-607).
 
     thresholds default to the reference walk rho = 0.30 .. 0.03 step -0.01;
-    a threshold walk breaks when bpp >= bpp_stop."""
+    a threshold walk breaks when bpp >= bpp_stop. verbose=False silences the
+    per-point console report and the walk-stop message."""
     if thresholds is None:
         thresholds = [round(t, 2) for t in np.arange(0.30, 0.02, -0.01)]
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     points: List[RatePoint] = []
-    verbose = True
     for q in qualities:
         coder = coders[q]
         for rho in thresholds:
