@@ -3,7 +3,10 @@
 Usage: JAX_PLATFORMS=cpu python scripts/profile_codec.py
 """
 import os
+import sys
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 import numpy as np

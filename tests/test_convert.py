@@ -505,3 +505,131 @@ def test_legacy_conversion_full_tree():
     out = model.apply(variables, x, jnp.zeros((1,), jnp.int32), cond)
     assert out.shape == (1, 16, 16, 6)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# --------------------------------------------------------------------------
+# 3D / pseudo-3D NCSN++ conversion
+# --------------------------------------------------------------------------
+
+
+def _synthetic_3d_sd(cfg, pseudo3d):
+    """Torch-style is3d all_modules state dict driven by the converter's own
+    plan (_build_plan_3d mirrors ncsnpp_more.py:130-250); leaf layouts follow
+    layers3d.py: MyConv3d `.conv` (Co,Ci,kd,kh,kw), PseudoConv3d
+    `.space_conv`/`.time_conv`, AttnBlockpp3d `.space_att`/`.time_att`."""
+    from tvc.utils.convert import _build_plan_3d
+
+    plan = _build_plan_3d(cfg)
+    nf = cfg.model.ngf * (cfg.data.num_frames + cfg.data.num_frames_cond
+                          + cfg.data.num_frames_future)
+    temb_dim = nf * 4
+    sd = {}
+
+    def conv3d(key, cin, cout, n, k):
+        if pseudo3d:
+            sd[f"{key}.space_conv.weight"] = torch.randn(cout // n, cin // n, k, k) * 0.05
+            sd[f"{key}.space_conv.bias"] = torch.zeros(cout // n)
+            sd[f"{key}.time_conv.weight"] = torch.randn(cout // n, cout // n, k) * 0.05
+            sd[f"{key}.time_conv.bias"] = torch.zeros(cout // n)
+        else:
+            sd[f"{key}.conv.weight"] = torch.randn(cout // n, cin // n, k, k, k) * 0.05
+            sd[f"{key}.conv.bias"] = torch.zeros(cout // n)
+
+    def attn_half(key, c):
+        sd[f"{key}.GroupNorm_0.weight"] = torch.rand(c)
+        sd[f"{key}.GroupNorm_0.bias"] = torch.rand(c)
+        for j in range(4):
+            sd[f"{key}.NIN_{j}.W"] = torch.randn(c, c) * 0.05
+            sd[f"{key}.NIN_{j}.b"] = torch.zeros(c)
+
+    for i, p in enumerate(plan):
+        key = f"module.all_modules.{i}"
+        kind = p["kind"]
+        if kind == "dense":
+            sd[f"{key}.weight"] = torch.randn(p["out"], p["in"]) * 0.05
+            sd[f"{key}.bias"] = torch.zeros(p["out"])
+        elif kind == "conv3":
+            conv3d(key, p["in"], p["out"], p["frames"], 3)
+        elif kind == "converter":
+            sd[f"{key}.weight"] = torch.randn(p["out"], p["in"], 1, 1) * 0.05
+            sd[f"{key}.bias"] = torch.zeros(p["out"])
+        elif kind == "attn":
+            c = p["ch"] // p["frames"]
+            attn_half(f"{key}.space_att", c)
+            attn_half(f"{key}.time_att", c)
+        elif kind == "res":
+            n = p["frames"]
+            cin, cout = p["in"], p["out"]
+            for an, ch in (("actnorm0", cin), ("actnorm1", cout)):
+                sd[f"{key}.{an}.Dense_0.weight"] = torch.randn(2 * (ch // n), temb_dim) * 0.05
+                sd[f"{key}.{an}.Dense_0.bias"] = torch.zeros(2 * (ch // n))
+            conv3d(f"{key}.Conv_0", cin, cout, n, 3)
+            conv3d(f"{key}.Conv_1", cout, cout, n, 3)
+            if cin != cout or p.get("up") or p.get("down"):
+                conv3d(f"{key}.Conv_2", cin, cout, n, 1)
+        elif kind == "actnorm":
+            c = p["ch"] // p["frames"]
+            sd[f"{key}.Norm_0.weight"] = torch.rand(c)
+            sd[f"{key}.Norm_0.bias"] = torch.rand(c)
+    return sd
+
+
+@pytest.mark.parametrize("arch", ["unetmore3d", "unetmorepseudo3d"])
+def test_3d_conversion_full_tree(arch):
+    from tvc.models.diffusion.ncsnpp import UNetMoreDDPM
+    from tvc.utils.convert import convert_3d_state_dict
+
+    cfg = _tiny_cfg()
+    cfg.model.arch = arch
+    cfg.model.ngf = 4
+    cfg.model.n_head_channels = 4
+    sd = _synthetic_3d_sd(cfg, pseudo3d=(arch == "unetmorepseudo3d"))
+    variables = convert_3d_state_dict(cfg, sd, pseudo3d=(arch == "unetmorepseudo3d"))
+
+    model = UNetMoreDDPM(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 6))
+    cond = jnp.zeros((1, 16, 16, 3))
+    ref = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cond)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref["params"])
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+    assert len(flat_ref) == len(flat_got), (len(flat_ref), len(flat_got))
+    for path, leaf in flat_ref:
+        assert path in flat_got, path
+        assert flat_got[path].shape == leaf.shape, (path, flat_got[path].shape, leaf.shape)
+
+    out = model.apply(variables, x, jnp.zeros((1,), jnp.int32), cond)
+    assert out.shape == (1, 16, 16, 6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_conv3d_layout_parity():
+    """MyConv3d conversion: torch Conv3d and flax NDHWC conv must agree."""
+    tconv = torch.nn.Conv3d(3, 5, 3, padding=1)
+    x = RNG.randn(2, 3, 4, 8, 8).astype(np.float32)  # (B,C,N,H,W)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(x)).numpy()  # (B,Co,N,H,W)
+
+    import flax.linen as nn_flax
+
+    kernel = tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    fconv = nn_flax.Conv(5, (3, 3, 3), padding="SAME")
+    params = {"params": {"kernel": kernel, "bias": tconv.bias.detach().numpy()}}
+    got = fconv.apply(params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))  # NDHWC
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), want, atol=1e-5)
+
+
+def test_time_conv1d_layout_parity():
+    """PseudoConv3d time_conv: torch Conv1d vs flax 1D conv layouts."""
+    tconv = torch.nn.Conv1d(6, 6, 3, padding=1)
+    x = RNG.randn(4, 6, 5).astype(np.float32)  # (B', C, N)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(x)).numpy()
+
+    import flax.linen as nn_flax
+
+    kernel = tconv.weight.detach().numpy().transpose(2, 1, 0)  # (k, Ci, Co)
+    fconv = nn_flax.Conv(6, (3,), padding="SAME")
+    params = {"params": {"kernel": kernel, "bias": tconv.bias.detach().numpy()}}
+    got = fconv.apply(params, jnp.asarray(x.transpose(0, 2, 1)))  # (B', N, C)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, atol=1e-5)

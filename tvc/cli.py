@@ -69,6 +69,13 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--num-processes", type=int, default=1,
                     help="multi-host: total processes sharing the job list")
     ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--queue-dir", type=str, default=None,
+                    help="multi-host dynamic scheduling: pull (video,quality) "
+                         "work units from a shared-filesystem work queue at "
+                         "this path instead of static --num-processes/"
+                         "--process-id partitioning; dead hosts' units are "
+                         "re-claimed after --queue-stale-after seconds")
+    ap.add_argument("--queue-stale-after", type=float, default=900.0)
     args = ap.parse_args(argv)
 
     import jax
@@ -123,7 +130,19 @@ def cmd_sweep(argv: List[str]) -> int:
         if not fvd.calibrated:
             print("[tvc] WARNING: FVD running uncalibrated (no I3D weights)")
 
-    if args.batched > 0:
+    if args.queue_dir:
+        from tvc.pipeline.driver import run_sweep_queued
+
+        n = run_sweep_queued(
+            cfg, data, coders, predictor, args.output_path, args.queue_dir,
+            start_idx=args.start_idx, end_idx=args.end_idx,
+            qualities=args.qualities, thresholds=args.thresholds,
+            with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
+            bench_264=args.bench_264, bench_265=args.bench_265,
+            stale_after=args.queue_stale_after,
+        )
+        print(f"[queue] this process completed {n} work units")
+    elif args.batched > 0:
         from tvc.pipeline.driver import run_sweep_batched
 
         run_sweep_batched(

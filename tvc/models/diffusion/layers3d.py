@@ -83,12 +83,13 @@ class PseudoConv3d(nn.Module):
         return volume_to_stacked(jnp.transpose(v, (0, 3, 1, 2, 4)))
 
 
-class AttnBlockpp3d(nn.Module):
-    """Temporal attention over the frame axis (layers3d.py:191-223): each
-    spatial position attends across its n_frames tokens."""
+class TimeAttnBlock(nn.Module):
+    """Per-pixel attention over the frame axis (AttnBlockpp1d,
+    layers3d.py:82-124): input (B', N, C) where B' folds (batch, H, W); the
+    GroupNorm statistics span (C/group, N) per pixel sample, exactly like the
+    reference's GroupNorm on (B*H*W, C, N)."""
 
-    channels: int  # per-frame channel count (C)
-    n_frames: int
+    channels: int
     n_head_channels: int = -1
     skip_rescale: bool = True
     init_scale: float = 0.0
@@ -96,13 +97,8 @@ class AttnBlockpp3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, cn = x.shape
-        c = cn // self.n_frames
-        v = stacked_to_volume(x, self.n_frames)  # (B, N, H, W, C)
-        hx = GroupNormRef(ch=c, eps=1e-6, dtype=self.dtype, name="GroupNorm_0")(
-            v.reshape(b * self.n_frames, h, w, c)
-        ).reshape(b, self.n_frames, h, w, c)
-
+        bp, n, c = x.shape
+        hx = GroupNormRef(ch=c, eps=1e-6, dtype=self.dtype, name="GroupNorm_0")(x)
         q = NIN(c, dtype=self.dtype, name="NIN_0")(hx)
         k = NIN(c, dtype=self.dtype, name="NIN_1")(hx)
         val = NIN(c, dtype=self.dtype, name="NIN_2")(hx)
@@ -112,21 +108,61 @@ class AttnBlockpp3d(nn.Module):
         else:
             heads = max(1, c // self.n_head_channels)
         ch = c // heads
-        # tokens = frames, batch = (B, H, W)
-        def split(t):
-            return jnp.transpose(t, (0, 2, 3, 1, 4)).reshape(b, h, w, self.n_frames, heads, ch)
-
-        qs, ks, vs = split(q), split(k), split(val)
-        logits = jnp.einsum("bhwqnc,bhwknc->bhwnqk", qs, ks) * (ch ** -0.5)
+        qs = q.reshape(bp, n, heads, ch)
+        ks = k.reshape(bp, n, heads, ch)
+        vs = val.reshape(bp, n, heads, ch)
+        logits = jnp.einsum("bqhc,bkhc->bhqk", qs, ks) * (ch ** -0.5)
         wts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhwnqk,bhwknc->bhwqnc", wts, vs)
-        out = out.reshape(b, h, w, self.n_frames, c)
-        out = jnp.transpose(out, (0, 3, 1, 2, 4))  # (B,N,H,W,C)
+        out = jnp.einsum("bhqk,bkhc->bqhc", wts, vs).reshape(bp, n, c)
         out = NIN(c, init_scale=self.init_scale, dtype=self.dtype, name="NIN_3")(out)
-        res = v + out
+        res = x + out
         if self.skip_rescale:
             res = res / np.sqrt(2.0)
-        return volume_to_stacked(res)
+        return res
+
+
+class AttnBlockpp3d(nn.Module):
+    """Factorized space-then-time attention (layers3d.py:191-223): a full 2D
+    spatial attention block per frame (frames folded into batch) followed by
+    a per-pixel temporal attention block over the n_frames tokens — the
+    reference's memory-friendly alternative to joint space-time attention
+    (AttnBlockpp3d_old, layers3d.py:139-189). Each sub-block carries its own
+    GroupNorm/QKV and applies its own skip, as in the reference."""
+
+    channels: int  # per-frame channel count (C)
+    n_frames: int
+    n_head_channels: int = -1
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    act: Optional[Callable] = None  # reference passes act=None (ncsnpp_more.py:118)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tvc.models.diffusion.layers import AttnBlockpp
+
+        b, h, w, cn = x.shape
+        c = cn // self.n_frames
+        v = stacked_to_volume(x, self.n_frames)  # (B, N, H, W, C)
+
+        # space attention: frames fold into batch (layers3d.py:211-213)
+        s = AttnBlockpp(
+            channels=c, skip_rescale=self.skip_rescale, init_scale=self.init_scale,
+            n_head_channels=self.n_head_channels, dtype=self.dtype, name="space_att",
+        )(v.reshape(b * self.n_frames, h, w, c))
+        v = s.reshape(b, self.n_frames, h, w, c)
+
+        if self.act is not None:
+            v = self.act(v)
+
+        # time attention: pixels fold into batch (layers3d.py:220-222)
+        t = jnp.transpose(v, (0, 2, 3, 1, 4)).reshape(b * h * w, self.n_frames, c)
+        t = TimeAttnBlock(
+            channels=c, skip_rescale=self.skip_rescale, init_scale=self.init_scale,
+            n_head_channels=self.n_head_channels, dtype=self.dtype, name="time_att",
+        )(t)
+        v = jnp.transpose(t.reshape(b, h, w, self.n_frames, c), (0, 3, 1, 2, 4))
+        return volume_to_stacked(v)
 
 
 class FrameConverter1x1(nn.Module):

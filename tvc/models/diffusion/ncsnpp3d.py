@@ -69,7 +69,11 @@ class GetActNorm3D(nn.Module):
         c = self.ch // self.n_frames
         b, h, w, _ = x.shape
         v = stacked_to_volume(x, self.n_frames)  # (B,N,H,W,C)
-        vv = v.reshape(b * self.n_frames, h, w, c)
+        # the reference normalizes the (B, C, N, H, W) volume with a GroupNorm
+        # over C channels (layerspp.py:524-536), so the statistics span the
+        # WHOLE (N, H, W) volume per channel group — folding frames into the
+        # spatial axis reproduces that with a channels-last GroupNorm
+        vv = v.reshape(b, self.n_frames * h, w, c)
         if self.emb:
             assert emb is not None
             emb_out = nn.Dense(2 * c, kernel_init=default_init(),

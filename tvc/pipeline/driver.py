@@ -203,6 +203,87 @@ def run_sweep(
     return results
 
 
+def run_sweep_queued(
+    cfg: Config,
+    data: np.ndarray,
+    coders: Dict[int, object],
+    predictor: FramePredictor,
+    output_path: str,
+    queue_dir: str,
+    start_idx: int = 0,
+    end_idx: int = 0,
+    qualities: Sequence[int] = (4, 5),
+    thresholds: Optional[Sequence[float]] = None,
+    with_fvd: bool = True,
+    lpips_metric: Optional[LPIPSMetric] = None,
+    fvd_metric: Optional[FVDMetric] = None,
+    bench_264: Optional[str] = None,
+    bench_265: Optional[str] = None,
+    owner: Optional[str] = None,
+    stale_after: float = 900.0,
+) -> int:
+    """Dynamic multi-host sweep: pull (video, quality) work units from a
+    shared-filesystem WorkQueue instead of static partitioning.
+
+    Per-unit work is wildly variable (early bpp stop, fallback count —
+    SURVEY.md §7.3 item 6), so pulling keeps every host busy until the queue
+    drains; a host that dies mid-unit loses its claim after `stale_after`
+    seconds and the unit is re-run elsewhere (tvc/parallel/queue.py). Exactly
+    one process performs the final per-video merge + RD persistence.
+
+    Returns the number of units this process completed."""
+    import socket
+
+    from tvc.parallel.queue import WorkQueue
+    from tvc.pipeline.sender import RatePoint as _RP
+
+    units = [
+        {"id": f"v{vid}_q{q}", "video": vid, "quality": int(q)}
+        for vid in range(start_idx, end_idx + 1)
+        for q in qualities
+    ]
+    wq = WorkQueue.create_or_open(queue_dir, units, stale_after=stale_after)
+    owner = owner or f"{socket.gethostname()}:{os.getpid()}"
+    lpips_metric = lpips_metric or LPIPSMetric.create()
+    if with_fvd and fvd_metric is None:
+        fvd_metric = FVDMetric()
+
+    def run_unit(job):
+        vid, q = job["video"], job["quality"]
+
+        def heartbeat_cb(_q, _thr, _x_ge):
+            wq.heartbeat(job["id"])  # renew the claim once per rate point
+
+        points = rate_sweep(
+            cfg, data[vid], coders, predictor, lpips_metric,
+            fvd_metric=fvd_metric if with_fvd else None,
+            qualities=[q], thresholds=thresholds,
+            key=jax.random.PRNGKey(cfg.seed + vid),
+            num_frames_total=min(30, data[vid].shape[0]),
+            artifact_cb=heartbeat_cb, verbose=False,
+        )
+        return {"video": vid, "points": [dataclasses.asdict(p) for p in points]}
+
+    n = wq.drain(owner, run_unit)
+
+    # single-winner merge: first process to observe a drained queue persists
+    # the per-video RD outputs (a dedicated done-marker arbitrates the race)
+    if wq.all_done() and wq.mark_done("__merged__", {"owner": owner}):
+        per_video: Dict[int, List[RatePoint]] = {}
+        for jid, res in wq.results().items():
+            if jid == "__merged__":
+                continue
+            for p in res["points"]:
+                per_video.setdefault(res["video"], []).append(_RP(**p))
+        os.makedirs(output_path, exist_ok=True)
+        save_config(cfg, os.path.join(output_path, "config.yml"))
+        for vid, points in sorted(per_video.items()):
+            persist_rd_results(vid, points, os.path.join(output_path, f"output_{vid}"),
+                               bench_264, bench_265)
+        print(f"[queue] merged {len(per_video)} videos -> {output_path}")
+    return n
+
+
 def persist_rd_results(vid: int, points, out_root: str,
                        bench_264: Optional[str] = None,
                        bench_265: Optional[str] = None) -> None:

@@ -199,6 +199,160 @@ def convert_spade_state_dict(cfg: Config, sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # --------------------------------------------------------------------------
+# 3D / pseudo-3D NCSN++ (`arch: unetmore3d` / `unetmorepseudo3d`)
+# --------------------------------------------------------------------------
+
+
+def _build_plan_3d(cfg: Config) -> list:
+    """Ordered `all_modules` list for the is3d archs (ncsnpp_more.py:130-250):
+    like the 2D plan but widths scale with the frame count (nf = ngf*n_frames,
+    numf = ngf*num_frames, :50-51), a 1x1 frame converter sits after the mid
+    attention (:215-218) and before every skip-connection res block
+    (:226-232), and the up path carries num_frames."""
+    num_frames = cfg.data.num_frames
+    n_frames = num_frames + cfg.data.num_frames_cond + cfg.data.num_frames_future
+    nf = cfg.model.ngf * n_frames
+    numf = cfg.model.ngf * num_frames
+    ch_mult = cfg.model.ch_mult
+    num_res = len(ch_mult)
+    all_res = [cfg.data.image_size // (2 ** i) for i in range(num_res)]
+
+    plan: list = []
+    if cfg.model.time_conditional:
+        plan.append({"kind": "dense", "in": nf, "out": nf * 4})
+        plan.append({"kind": "dense", "in": nf * 4, "out": nf * 4})
+
+    plan.append({"kind": "conv3", "in": cfg.data.channels * n_frames, "out": nf,
+                 "frames": n_frames})
+    hs_c = [nf]
+    in_ch = nf
+    for i_level in range(num_res):
+        for _ in range(cfg.model.num_res_blocks):
+            out_ch = nf * ch_mult[i_level]
+            plan.append({"kind": "res", "in": in_ch, "out": out_ch, "frames": n_frames})
+            in_ch = out_ch
+            if all_res[i_level] in cfg.model.attn_resolutions:
+                plan.append({"kind": "attn", "ch": in_ch, "frames": n_frames})
+            hs_c.append(in_ch)
+        if i_level != num_res - 1:
+            plan.append({"kind": "res", "in": in_ch, "out": in_ch, "down": True,
+                         "frames": n_frames})
+            hs_c.append(in_ch)
+
+    plan.append({"kind": "res", "in": in_ch, "out": in_ch, "frames": n_frames})
+    plan.append({"kind": "attn", "ch": in_ch, "frames": n_frames})
+    plan.append({"kind": "converter", "in": n_frames, "out": num_frames})
+    in_ch = in_ch // n_frames * num_frames
+    plan.append({"kind": "res", "in": in_ch, "out": in_ch, "frames": num_frames})
+
+    for i_level in reversed(range(num_res)):
+        for _ in range(cfg.model.num_res_blocks + 1):
+            out_ch = numf * ch_mult[i_level]
+            plan.append({"kind": "converter", "in": n_frames, "out": num_frames})
+            in_ch_old = hs_c.pop() // n_frames * num_frames
+            plan.append({"kind": "res", "in": in_ch + in_ch_old, "out": out_ch,
+                         "frames": num_frames})
+            in_ch = out_ch
+        if all_res[i_level] in cfg.model.attn_resolutions:
+            plan.append({"kind": "attn", "ch": in_ch, "frames": num_frames})
+        if i_level != 0:
+            plan.append({"kind": "res", "in": in_ch, "out": in_ch, "up": True,
+                         "frames": num_frames})
+
+    assert not hs_c
+    plan.append({"kind": "actnorm", "ch": in_ch, "frames": num_frames})
+    plan.append({"kind": "conv3", "in": in_ch,
+                 "out": cfg.data.channels * num_frames, "frames": num_frames})
+    return plan
+
+
+def _conv3d(sd, key) -> Dict[str, Any]:
+    """MyConv3d: .conv is a torch Conv3d, weight (Co,Ci,kd,kh,kw)
+    (layers3d.py:225-242) -> flax NDHWC kernel (kd,kh,kw,Ci,Co)."""
+    out = {"kernel": _np(sd[f"{key}.conv.weight"]).transpose(2, 3, 4, 1, 0)}
+    if f"{key}.conv.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.conv.bias"])
+    return {"conv": out}
+
+
+def _pseudo3d(sd, key) -> Dict[str, Any]:
+    """PseudoConv3d: space_conv (2D) + time_conv (1D, weight (Co,Co,kt) ->
+    flax (kt,Ci,Co)) (layers3d.py:258-301)."""
+    return {
+        "spatial": _conv(sd, f"{key}.space_conv"),
+        "temporal": {
+            "kernel": _np(sd[f"{key}.time_conv.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd[f"{key}.time_conv.bias"]),
+        },
+    }
+
+
+def _attn_leaves(sd, key) -> Dict[str, Any]:
+    return {
+        "GroupNorm_0": _gn(sd, f"{key}.GroupNorm_0"),
+        "NIN_0": _nin(sd, f"{key}.NIN_0"),
+        "NIN_1": _nin(sd, f"{key}.NIN_1"),
+        "NIN_2": _nin(sd, f"{key}.NIN_2"),
+        "NIN_3": _nin(sd, f"{key}.NIN_3"),
+    }
+
+
+def convert_3d_state_dict(cfg: Config, sd: Dict[str, Any],
+                          pseudo3d: bool = False) -> Dict[str, Any]:
+    """Map an is3d `all_modules` state dict (arch unetmore3d/unetmorepseudo3d)
+    onto tvc's NCSNpp3D param tree. Leaf layouts: MyConv3d / PseudoConv3d
+    (layers3d.py:225-301), factorized space+time attention (:191-223), frame
+    converters = plain 2D conv1x1 over the frame axis (ncsnpp_more.py:217)."""
+    norm = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        norm[k] = v
+    sd = norm
+    prefix = "unet.all_modules" if any(k.startswith("unet.all_modules") for k in sd) else "all_modules"
+    conv_leaf = _pseudo3d if pseudo3d else _conv3d
+
+    plan = _build_plan_3d(cfg)
+    unet: Dict[str, Any] = {}
+    for i, p in enumerate(plan):
+        key = f"{prefix}.{i}"
+        kind = p["kind"]
+        if kind == "dense":
+            unet[f"m{i}"] = _dense(sd, key)
+        elif kind == "conv3":
+            unet[f"m{i}"] = conv_leaf(sd, key)
+        elif kind == "converter":
+            # layerspp.conv1x1: weight (n_out, n_in, 1, 1) -> kernel (n_in, n_out)
+            unet[f"m{i}"] = {
+                "kernel": _np(sd[f"{key}.weight"])[:, :, 0, 0].T,
+                "bias": _np(sd[f"{key}.bias"]),
+            }
+        elif kind == "attn":
+            unet[f"m{i}"] = {
+                "space_att": _attn_leaves(sd, f"{key}.space_att"),
+                "time_att": _attn_leaves(sd, f"{key}.time_att"),
+            }
+        elif kind == "res":
+            m: Dict[str, Any] = {
+                "Conv_0": conv_leaf(sd, f"{key}.Conv_0"),
+                "Conv_1": conv_leaf(sd, f"{key}.Conv_1"),
+            }
+            for an in ("actnorm0", "actnorm1"):
+                if f"{key}.{an}.Dense_0.weight" in sd:
+                    m[an] = {"Dense_0": _dense(sd, f"{key}.{an}.Dense_0")}
+                else:  # affine GroupNorm when not time-conditional
+                    m[an] = {"Norm_0": _gn(sd, f"{key}.{an}.Norm_0")}
+            if f"{key}.Conv_2.conv.weight" in sd or f"{key}.Conv_2.space_conv.weight" in sd:
+                m["Conv_2"] = conv_leaf(sd, f"{key}.Conv_2")
+            unet[f"m{i}"] = m
+        elif kind == "actnorm":
+            unet[f"m{i}"] = {"Norm_0": _gn(sd, f"{key}.Norm_0")}
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    return {"params": {"unet": unet}}
+
+
+# --------------------------------------------------------------------------
 # Legacy UNet (`arch: unet`, models/unet.py:175-299)
 # --------------------------------------------------------------------------
 
