@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--no-codec", action="store_true")
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--throughput-batch", type=int, default=8,
+                    help="also measure the lockstep-batched serving path at "
+                         "this GOP-chain batch (0 = skip)")
+    ap.add_argument("--profile-dir", type=str, default=None,
+                    help="capture a jax.profiler trace of the steady-state "
+                         "timing section into this directory")
     args = ap.parse_args()
 
     import os
@@ -43,12 +49,18 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     t0 = time.time()
-    res = bench_pipeline(
-        subsample=subsample,
-        dtype=dtype,
-        include_codec=not args.no_codec,
-        batch=args.batch,
-    )
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
+    with prof:
+        res = bench_pipeline(
+            subsample=subsample,
+            dtype=dtype,
+            include_codec=not args.no_codec,
+            batch=args.batch,
+            throughput_batch=args.throughput_batch,
+        )
     wall = time.time() - t0
 
     baseline_fps = 0.125
@@ -64,6 +76,13 @@ def main():
         "compile_s": round(res.compile_time, 1),
         "bench_wall_s": round(wall, 1),
     }
+    if res.throughput_batch:
+        info.update({
+            "throughput_batch": res.throughput_batch,
+            "t_cycle100_batched_s": round(res.t_cycle_batched, 3),
+            "t_keyframes_batched_s": round(res.t_keyframes_batched, 3),
+            "fps_throughput_batched": round(res.fps_throughput, 3),
+        })
     print(json.dumps(info), file=sys.stderr)
     print(json.dumps({
         "metric": "frames/s/chip (worst-case 30-frame GOP encode+decode, 128x128)",

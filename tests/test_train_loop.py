@@ -42,3 +42,11 @@ def test_train_loop_runs_and_snapshots(tmp_path):
     assert np.isfinite(metrics["final_loss"])
     assert os.path.exists(tmp_path / "ckpt_2.params.npz")
     assert os.path.exists(tmp_path / "ckpt_final.ema.npz")
+    assert os.path.exists(tmp_path / "ckpt_2.opt.npz")
+
+    # resume from the step-2 snapshot and run to step 4 again
+    metrics2 = train(cfg, data, num_steps=4, batch_size=8, snapshot_freq=10,
+                     log_freq=2, out_dir=str(tmp_path / "resumed"),
+                     resume_from=str(tmp_path / "ckpt_2"))
+    assert metrics2["steps"] == 4
+    assert np.isfinite(metrics2["final_loss"])

@@ -47,6 +47,13 @@ class BenchResult:
     n_sample_steps: int
     compile_time: float
     t_keyframe_pair_fused: float = 0.0  # fused device-simulation path
+    # lockstep-batched serving path (tvc/pipeline/batched.py): B GOP chains
+    # share every sampler sweep, amortizing the weight streaming that bounds
+    # the B=1 latency path
+    throughput_batch: int = 0
+    t_cycle_batched: float = 0.0
+    t_keyframes_batched: float = 0.0
+    fps_throughput: float = 0.0
 
 
 def bench_pipeline(
@@ -55,6 +62,7 @@ def bench_pipeline(
     include_codec: bool = True,
     batch: int = 1,
     seed: int = 0,
+    throughput_batch: int = 8,
 ) -> BenchResult:
     from tvc.pipeline.predictor import FramePredictor
 
@@ -164,7 +172,44 @@ def bench_pipeline(
     t_gop = 5 * t_cycle_100 + 3 * t_pair
     fps = 30.0 * batch / t_gop
     _log(f"GOP model: 5x{t_cycle_100:.2f}s + 3x{t_pair:.2f}s -> {fps:.3f} frames/s/chip")
+
+    # ---- lockstep-batched serving throughput (B worst-case chains/chip) ----
+    tb = throughput_batch if batch == 1 else 0
+    t_cycle_b = t_kf_b = fps_tp = 0.0
+    if tb > 1:
+        _log(f"compiling batched (B={tb}) sampler for the serving path")
+        cond_b = jnp.zeros((tb, size, size, c * cfg.data.num_frames_cond), dtype)
+        t0 = time.time()
+        np.asarray(predictor.generate(jax.random.PRNGKey(11), cond_b))
+        _log(f"batched sampler compiled+ran in {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for i in range(3):
+            np.asarray(predictor.generate(jax.random.PRNGKey(12 + i), cond_b))
+        t_cycle_b = (time.time() - t0) / 3
+        if n_steps < 100:
+            t_cycle_b = t_dispatch + max(t_cycle_b - t_dispatch, 0.0) * (101 / (n_steps + 1))
+        else:
+            t_cycle_b = t_cycle_b * (101 / (n_steps + 1))
+        if include_codec and "coder" in codec_result:
+            from tvc.pipeline.keyframe import code_frames as _cf
+
+            frames_b = np.random.RandomState(1).rand(2 * tb, 128, 128, 3).astype(np.float32)
+            _cf(codec_result["coder"], frames_b, exact=True)  # compile batch-2B stages
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                _cf(codec_result["coder"], frames_b, exact=True)
+                times.append(time.time() - t0)
+            t_kf_b = float(np.median(times))
+        fps_tp = 30.0 * tb / (5 * t_cycle_b + 3 * t_kf_b)
+        _log(f"batched GOP model (B={tb}): 5x{t_cycle_b:.2f}s + 3x{t_kf_b:.2f}s "
+             f"-> {fps_tp:.3f} frames/s/chip throughput")
+
     return BenchResult(
+        throughput_batch=tb,
+        t_cycle_batched=t_cycle_b,
+        t_keyframes_batched=t_kf_b,
+        fps_throughput=fps_tp,
         t_unet_step=t_step,
         t_cycle=t_cycle_100,
         t_keyframe_pair=t_pair,

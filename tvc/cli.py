@@ -287,6 +287,10 @@ def cmd_train(argv: List[str]) -> int:
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--snapshot-freq", type=int, default=500)
+    ap.add_argument("--resume-from", type=str, default=None,
+                    help="snapshot path prefix from a previous run "
+                         "(e.g. out/ckpt_500) to restore params/EMA/"
+                         "optimizer/step and continue until --steps")
     args = ap.parse_args(argv)
 
     cfg = _load_cfg(args)
@@ -295,7 +299,8 @@ def cmd_train(argv: List[str]) -> int:
 
     data = load_dataset(args.data_npy)
     metrics = train(cfg, data, num_steps=args.steps, batch_size=args.batch_size,
-                    snapshot_freq=args.snapshot_freq, out_dir=args.out_dir)
+                    snapshot_freq=args.snapshot_freq, out_dir=args.out_dir,
+                    resume_from=args.resume_from)
     print(metrics)
     return 0
 

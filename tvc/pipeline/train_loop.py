@@ -26,7 +26,7 @@ from tvc.parallel.mesh import data_sharding, make_mesh
 from tvc.parallel.train import make_train_step
 from tvc.pipeline.sender import stack_frames
 from tvc.pipeline.transforms import data_transform
-from tvc.utils.checkpoint_io import save_train_state
+from tvc.utils.checkpoint_io import load_train_state, save_train_state
 
 
 def clip_batches(data: np.ndarray, cfg: Config, batch_size: int,
@@ -55,8 +55,14 @@ def train(
     log_freq: int = 50,
     out_dir: Optional[str] = None,
     dtype=jnp.float32,
+    resume_from: Optional[str] = None,
 ) -> Dict[str, float]:
-    """Run DSM training; returns final metrics. data: (B,T,H,W,C) in [0,1]."""
+    """Run DSM training; returns final metrics. data: (B,T,H,W,C) in [0,1].
+
+    resume_from: a snapshot path prefix written by a previous run (e.g.
+    `out/ckpt_500`); restores params/EMA/optimizer/step and continues until
+    `num_steps` total. The reference has no mid-run resume at all (SURVEY.md
+    §5 checkpoint/resume: load-only); tvc makes it first-class."""
     mesh = make_mesh(cfg.mesh)
     dp = mesh.shape[cfg.mesh.data_axis]
     if batch_size % dp != 0:
@@ -70,9 +76,26 @@ def train(
     key = jax.random.PRNGKey(cfg.seed)
     with mesh:
         state, _ = init_fn(key, {k: jnp.asarray(v) for k, v in first.items()})
+        start_step = 0
+        if resume_from:
+            # older snapshots may lack the .opt.npz member; resume with a
+            # fresh optimizer state in that case (params/EMA still restored)
+            has_opt = os.path.exists(resume_from + ".opt.npz")
+            params, ema, start_step, opt = load_train_state(
+                resume_from, state.params, state.ema,
+                state.opt_state if has_opt else None)
+            state = state.replace(params=params, ema=ema,
+                                  opt_state=opt if has_opt else state.opt_state,
+                                  step=jnp.asarray(start_step, jnp.int32))
+            # decorrelate the clip stream and noise keys from the first run
+            batches = clip_batches(data, cfg, batch_size,
+                                   np.random.RandomState(cfg.seed + start_step))
+            key = jax.random.fold_in(key, start_step)
+            print(f"[train] resumed from {resume_from} at step {start_step}")
         losses = []
+        loss = jnp.nan
         t0 = time.time()
-        for step in range(num_steps):
+        for step in range(start_step, num_steps):
             batch = next(batches)
             batch = {
                 k: jax.device_put(
@@ -90,11 +113,13 @@ def train(
                       f"({(time.time() - t0) / (step + 1):.3f}s/step)", flush=True)
             if out_dir and (step + 1) % snapshot_freq == 0:
                 save_train_state(os.path.join(out_dir, f"ckpt_{step + 1}"),
-                                 state.params, state.ema, step + 1)
+                                 state.params, state.ema, step + 1,
+                                 opt_state=state.opt_state)
         final_loss = float(loss)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         save_train_state(os.path.join(out_dir, "ckpt_final"),
-                         state.params, state.ema, num_steps)
+                         state.params, state.ema, num_steps,
+                         opt_state=state.opt_state)
     return {"final_loss": final_loss, "steps": num_steps,
             "wall_time": time.time() - t0}
