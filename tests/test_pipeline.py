@@ -76,6 +76,12 @@ def test_code_frames_bits(tiny_pipeline):
     dec, bits = code_frames(coder, frames, 64)
     assert dec.shape == frames.shape
     assert len(bits) == 2 and all(b > 0 for b in bits)
+    # y/z stream split (Inference.py:49-75) sums to the total
+    from tvc.pipeline.keyframe import per_frame_bits_split
+
+    enc = coder.compress(frames, exact=False)
+    yb, zb = per_frame_bits_split(enc["strings"], 2)
+    assert all(y > 0 and z > 0 for y, z in zip(yb, zb))
 
 
 def test_gop_accepts_with_loose_threshold(tiny_pipeline):

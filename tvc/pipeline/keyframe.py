@@ -27,14 +27,23 @@ def pad_to_multiple(x: np.ndarray, patch: int) -> Tuple[np.ndarray, Tuple[int, i
 
 def per_frame_bits(strings, batch: int) -> List[int]:
     """Split the nested stream structure into per-batch-element bit counts."""
+    y, z = per_frame_bits_split(strings, batch)
+    return [yb + zb for yb, zb in zip(y, z)]
+
+
+def per_frame_bits_split(strings, batch: int) -> Tuple[List[int], List[int]]:
+    """Per-batch-element (y_bits, z_bits) — the reference's inference()
+    reports bpp split between the latent and hyperprior streams
+    (Inference.py:49-75)."""
     y_strings, z_strings = strings
-    bits = [0] * batch
+    y_bits = [0] * batch
+    z_bits = [0] * batch
     for b in range(batch):
-        bits[b] += len(z_strings[b]) * 8
+        z_bits[b] += len(z_strings[b]) * 8
         for slice_streams in y_strings:
             for phase in slice_streams:  # [anchor, non_anchor]
-                bits[b] += len(phase[b]) * 8
-    return bits
+                y_bits[b] += len(phase[b]) * 8
+    return y_bits, z_bits
 
 
 def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64,
