@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--throughput-batch", type=int, default=8,
                     help="also measure the lockstep-batched serving path at "
                          "this GOP-chain batch (0 = skip)")
+    ap.add_argument("--no-fused-gop", action="store_true",
+                    help="skip the whole-GOP-on-device program measurement")
     ap.add_argument("--profile-dir", type=str, default=None,
                     help="capture a jax.profiler trace of the steady-state "
                          "timing section into this directory")
@@ -60,6 +62,7 @@ def main():
             include_codec=not args.no_codec,
             batch=args.batch,
             throughput_batch=args.throughput_batch,
+            fused_gop=not args.no_fused_gop,
         )
     wall = time.time() - t0
 
@@ -76,6 +79,12 @@ def main():
         "compile_s": round(res.compile_time, 1),
         "bench_wall_s": round(wall, 1),
     }
+    if res.t_fused_gop:
+        info.update({
+            "t_fused_gop_s": round(res.t_fused_gop, 3),
+            "fused_gop_cycles": res.fused_gop_cycles,
+            "fps_fused_gop": round(res.fps_fused_gop, 3),
+        })
     if res.throughput_batch:
         info.update({
             "throughput_batch": res.throughput_batch,

@@ -54,6 +54,12 @@ class BenchResult:
     t_cycle_batched: float = 0.0
     t_keyframes_batched: float = 0.0
     fps_throughput: float = 0.0
+    # whole-GOP-on-device program (tvc/pipeline/fused_gop.py): one device call
+    # encodes a full 30-frame GOP (sampling + LPIPS decisions + fallback
+    # keyframes); wall is normalized to the 100-step budget
+    t_fused_gop: float = 0.0      # wall for the forced worst-case trajectory
+    fused_gop_cycles: int = 0     # sampler sweeps in that trajectory
+    fps_fused_gop: float = 0.0
 
 
 def bench_pipeline(
@@ -63,6 +69,7 @@ def bench_pipeline(
     batch: int = 1,
     seed: int = 0,
     throughput_batch: int = 8,
+    fused_gop: bool = True,
 ) -> BenchResult:
     from tvc.pipeline.predictor import FramePredictor
 
@@ -205,7 +212,49 @@ def bench_pipeline(
         _log(f"batched GOP model (B={tb}): 5x{t_cycle_b:.2f}s + 3x{t_kf_b:.2f}s "
              f"-> {fps_tp:.3f} frames/s/chip throughput")
 
+    # ---- whole-GOP-on-device program: one call = one full GOP ----
+    # Forced trajectory [5,0,5,0,5,5,5]: 7 sampler sweeps + 2 fallback pairs
+    # + the initial pair = 31>=30 frames — strictly MORE work than the
+    # 5-cycle+3-pair GOP model above, measured as real wall-clock of a single
+    # device program (no per-cycle host round-trip or frame fetch; only the
+    # final scalars force completion).
+    t_fused = fps_fused = 0.0
+    n_cycles = 7
+    if fused_gop and batch == 1 and include_codec and "coder" in codec_result:
+        from tvc.metrics.lpips import LPIPSMetric
+        from tvc.pipeline.fused_gop import FusedGOPSender
+
+        _log("building whole-GOP-on-device program (fused_gop)")
+        lp = LPIPSMetric.create()
+        fsender = FusedGOPSender(cfg=cfg, predictor=predictor,
+                                 coder=codec_result["coder"], lpips=lp,
+                                 num_frames_total=30)
+        video = np.random.RandomState(5).rand(30, size, size, c).astype(np.float32)
+        forced = [5, 0, 5, 0, 5, 5, 5]
+        t0 = time.time()
+        out = fsender.run(video, jax.random.PRNGKey(31), 0.1,
+                          forced_accepts=forced)
+        float(out["bits"])  # scalar fetch forces completion
+        _log(f"fused GOP compiled+ran in {time.time() - t0:.1f}s")
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            out = fsender.run(video, jax.random.PRNGKey(32 + i), 0.1,
+                              forced_accepts=forced)
+            fetched = (float(out["bits"]), int(out["n_updates"]))
+            times.append(time.time() - t0)
+        assert fetched[1] == n_cycles, fetched
+        t_fused = float(np.median(times))
+        if n_steps < 100:  # normalize each sweep to the 100-step budget
+            t_fused += n_cycles * (101 - (n_steps + 1)) * t_step
+        fps_fused = 30.0 / t_fused
+        _log(f"fused whole-GOP wall ({n_cycles} sweeps + 3 pairs, 100-step "
+             f"normalized): {t_fused:.2f}s -> {fps_fused:.3f} frames/s/chip")
+
     return BenchResult(
+        t_fused_gop=t_fused,
+        fused_gop_cycles=n_cycles if t_fused else 0,
+        fps_fused_gop=fps_fused,
         throughput_batch=tb,
         t_cycle_batched=t_cycle_b,
         t_keyframes_batched=t_kf_b,

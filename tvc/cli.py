@@ -66,6 +66,13 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--batched", type=int, default=0,
                     help="run all (video,q,rho) jobs as lockstep-batched GOP "
                          "chains with this batch size (0 = sequential)")
+    ap.add_argument("--fused-gop", action="store_true",
+                    help="whole-GOP-on-device: each GOP (sampling, LPIPS "
+                         "decisions, fallback keyframes) runs as ONE XLA "
+                         "program; bits are the likelihood estimate "
+                         "(entropy-estimation bpp), not rANS byte counts. "
+                         "Sequential mode only; incompatible with "
+                         "--exact-streams/--batched/--queue-dir")
     ap.add_argument("--num-processes", type=int, default=1,
                     help="multi-host: total processes sharing the job list")
     ap.add_argument("--process-id", type=int, default=0)
@@ -80,6 +87,11 @@ def cmd_sweep(argv: List[str]) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    if args.fused_gop and (args.exact_streams or args.batched or args.queue_dir):
+        print("[tvc] --fused-gop is sequential-mode only and uses the device "
+              "codec; drop --exact-streams/--batched/--queue-dir")
+        return 2
 
     cfg = _load_cfg(args)
     if args.exact_streams:
@@ -161,6 +173,7 @@ def cmd_sweep(argv: List[str]) -> int:
             with_fvd=not args.no_fvd,
             lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
+            fused_gop=args.fused_gop,
         )
     return 0
 

@@ -119,6 +119,7 @@ class LPIPSMetric:
 
     def __post_init__(self):
         model = LPIPS(spatial=self.spatial, net_type=self.net_type)
+        self.model = model  # raw module for in-program use (fused_gop)
         _fn = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b))
         self._fn = lambda a, b: _fn(self.params, a, b)
 

@@ -73,6 +73,9 @@ class FramePredictor:
                     gamma=cfg.model.gamma, t_min=samp.init_prev_t, final_only=True,
                 )
 
+        # raw (untraced) sampler body — reused by the fused whole-GOP program
+        # (tvc/pipeline/fused_gop.py), which traces it inside its own loop
+        self.sample_fn = sample
         self._sample = jax.jit(sample)
 
     @classmethod

@@ -195,22 +195,42 @@ def rate_sweep(
     bpp_stop: float = 1.0,
     artifact_cb: Optional[Callable] = None,  # (quality, threshold, x_ge) per point
     verbose: bool = True,
+    fused: Optional[object] = None,  # FusedGOPSender: whole-GOP-on-device path
 ) -> List[RatePoint]:
     """(quality x threshold) sweep over one video (city_sender.py:495-607).
 
     thresholds default to the reference walk rho = 0.30 .. 0.03 step -0.01;
     a threshold walk breaks when bpp >= bpp_stop. verbose=False silences the
-    per-point console report and the walk-stop message."""
+    per-point console report and the walk-stop message.
+
+    fused: a tvc.pipeline.fused_gop.FusedGOPSender — every GOP runs as ONE
+    device program (all qualities share the compile; codec weights are a
+    runtime argument) with likelihood-estimate bits instead of rANS byte
+    counts."""
     if thresholds is None:
         thresholds = [round(t, 2) for t in np.arange(0.30, 0.02, -0.01)]
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     points: List[RatePoint] = []
+    h, w = video_gt.shape[1], video_gt.shape[2]
     for q in qualities:
         coder = coders[q]
         for rho in thresholds:
             key, sub = jax.random.split(key)
-            sender = Sender(threshold=rho, cfg=cfg, predictor=predictor, lpips=lpips_metric)
-            gop = run_gop(sender, coder, video_gt, sub, num_frames_total, cfg.codec.patch)
+            if fused is not None:
+                t0 = time.time()
+                fo = fused.run(video_gt, sub, float(rho),
+                               coder_variables=coder.variables)
+                gop = GOPResult(
+                    d=np.asarray(fo["d"])[None], x_ge=np.asarray(fo["x_ge"])[None],
+                    bits=int(float(fo["bits"])),
+                    bpp=float(fo["bits"]) / h / w / num_frames_total,
+                    n_updates=int(fo["n_updates"]), wall_time=time.time() - t0,
+                )
+            else:
+                sender = Sender(threshold=rho, cfg=cfg, predictor=predictor,
+                                lpips=lpips_metric)
+                gop = run_gop(sender, coder, video_gt, sub, num_frames_total,
+                              cfg.codec.patch)
             if gop.bpp >= bpp_stop:
                 if verbose:
                     print(f"q={q} rho={rho:.2f}: bpp {gop.bpp:.4f} >= "
