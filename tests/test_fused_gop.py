@@ -121,6 +121,25 @@ def test_rate_sweep_fused_path(fused_setup):
     assert p.bpp > 0 and np.isfinite(p.lpips_list).all()
 
 
+@pytest.mark.slow
+def test_run_sharded_on_mesh(fused_setup):
+    """Chains shard over the mesh data axis (8 virtual CPU devices)."""
+    from tvc.parallel.mesh import make_mesh
+
+    cfg, _, _, _, sender, video = fused_setup
+    mesh = make_mesh(cfg.mesh)
+    dp = mesh.shape["data"]
+    B = dp  # one chain per data-axis slot
+    videos = np.stack([video] * B)
+    keys = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(B)])
+    thresholds = np.full((B,), np.inf, np.float32)
+    with mesh:
+        out = sender.run_sharded(mesh, videos, keys, thresholds)
+    d = np.asarray(out["d"])
+    assert d.shape == (B, T_TOTAL)
+    assert (d == ([1, 1] + [0] * (T_TOTAL - 2))).all()
+
+
 def test_batched_matches_single(fused_setup):
     cfg, _, _, _, sender, video = fused_setup
     videos = np.stack([video, video[::-1].copy()])

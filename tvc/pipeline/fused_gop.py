@@ -174,8 +174,10 @@ class FusedGOPSender:
                 "accepts": accepts,
             }
 
+        self._gop_raw = gop
         self._gop = jax.jit(gop)
         self._gop_batched = jax.jit(jax.vmap(gop, in_axes=(None, None, None, 0, 0, 0, 0)))
+        self._sharded_cache = {}
         self._pad = pad
         self._max_updates = max_updates
 
@@ -223,3 +225,30 @@ class FusedGOPSender:
             self.predictor.variables, self.coder.variables,
             self.lpips.params if self.lpips is not None else {},
             v, keys, jnp.asarray(thresholds, jnp.float32), jnp.asarray(forced))
+
+    def run_sharded(self, mesh, videos: np.ndarray, keys: jax.Array,
+                    thresholds: np.ndarray) -> Dict[str, Any]:
+        """Mesh-sharded whole-GOP encode: the chain batch is sharded over the
+        mesh's `data` axis (params replicated), so N chips each run whole GOPs
+        on device in lockstep — the multi-chip serving path. B must be a
+        multiple of the data-axis size."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        key = ("sharded", id(mesh))
+        if key not in self._sharded_cache:
+            data = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self._sharded_cache[key] = jax.jit(
+                jax.vmap(self._gop_raw, in_axes=(None, None, None, 0, 0, 0, 0)),
+                in_shardings=(repl, repl, repl, data, data, data, data),
+                out_shardings=data,
+            )
+        B = videos.shape[0]
+        dp = mesh.shape["data"]
+        assert B % dp == 0, f"batch {B} not divisible by data axis {dp}"
+        forced = jnp.full((B, self._max_updates), -1, jnp.int32)
+        v = jnp.stack([self._prep_video(videos[i]) for i in range(B)])
+        return self._sharded_cache[key](
+            self.predictor.variables, self.coder.variables,
+            self.lpips.params if self.lpips is not None else {},
+            v, keys, jnp.asarray(thresholds, jnp.float32), forced)
