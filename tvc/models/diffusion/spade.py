@@ -27,6 +27,23 @@ from tvc.models.diffusion.layers import (
 from tvc.ops.resample import downsample_2d, upsample_2d
 
 
+def _nearest_resize_torch(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Nearest-neighbor resize with torch's `F.interpolate(mode='nearest')`
+    index convention: src = floor(dst * in/out) (top-left asymmetric).
+
+    `jax.image.resize(..., 'nearest')` aligns sample CENTERS instead, which
+    picks different source pixels for every 2x downsample (1,3,5,... instead
+    of 0,2,4,...) — caught by the reference parity battery
+    (test_reference_parity.py::test_spade_forward_parity; reference call:
+    layerspp.py MySPADE.forward `F.interpolate(segmap, mode='nearest')`)."""
+    _, H, W, _ = x.shape
+    if (H, W) == (h, w):
+        return x
+    iy = (jnp.arange(h) * H) // h
+    ix = (jnp.arange(w) * W) // w
+    return x[:, iy][:, :, ix]
+
+
 class MySPADE(nn.Module):
     """Affine-free GroupNorm modulated by a conv net over the cond map."""
 
@@ -40,7 +57,7 @@ class MySPADE(nn.Module):
         normalized = GroupNormRef(ch=self.norm_nc, eps=1e-6, use_affine=False,
                                   dtype=self.dtype, name="param_free_norm")(x)
         b, h, w, _ = x.shape
-        seg = jax.image.resize(segmap, (segmap.shape[0], h, w, segmap.shape[-1]), "nearest")
+        seg = _nearest_resize_torch(segmap, h, w)
         actv = self.act(DDPMConv(self.spade_dim, 3, dtype=self.dtype, name="mlp_shared")(seg))
         gamma = DDPMConv(self.norm_nc, 3, dtype=self.dtype, name="mlp_gamma")(actv)
         beta = DDPMConv(self.norm_nc, 3, dtype=self.dtype, name="mlp_beta")(actv)

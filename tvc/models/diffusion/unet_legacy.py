@@ -52,7 +52,10 @@ class LegacyResnetBlock(nn.Module):
         h = nn.silu(LegacyGroupNorm(ch=in_ch, dtype=self.dtype, name="norm1")(x))
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         if self.temb and temb is not None:
-            h = h + nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(nn.silu(temb))[:, None, None, :]
+            # no act here: the legacy temb_dense Sequential already ends in
+            # Swish (models/unet.py:248-253); the block adds dense(temb) raw
+            # (:94-95) — parity-checked in test_reference_parity.py
+            h = h + nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(temb)[:, None, None, :]
         h = nn.silu(LegacyGroupNorm(ch=self.out_ch, dtype=self.dtype, name="norm2")(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
