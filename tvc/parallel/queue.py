@@ -21,6 +21,14 @@ filesystem (the NFS/FUSE mounts TPU pod slices already share):
 Workers renew their claim mtime via `heartbeat()` between GOP cycles; a
 worker that loses its claim to a thief simply has its late `mark_done`
 ignored as a duplicate (results are idempotent per unit id).
+
+Filesystem requirements: the queue directory must live on a local POSIX
+filesystem or NFSv4+ (where O_CREAT|O_EXCL and link(2) are atomic). NFSv3
+does not guarantee O_EXCL atomicity — do not point `queue_dir` at an NFSv3
+mount. Staleness compares the claim's server mtime against the stealing
+host's clock, so hosts sharing a queue should be NTP-synced; `stale_after`
+includes a generous margin (default 900 s) precisely so ordinary clock skew
+(seconds) cannot trigger premature steals.
 """
 
 from __future__ import annotations
@@ -149,12 +157,41 @@ class WorkQueue:
     def mark_done(self, jid: str, result: Any) -> bool:
         """Record a unit's result. Duplicate completions (a stolen unit
         finished by both owners) keep the first result; returns False for the
-        loser."""
+        loser.
+
+        The publish is atomic AND exclusive: the result is fully written to a
+        tmp file, then `os.link`ed to the done path — link fails with EEXIST
+        if any other writer got there first, so exactly one caller ever
+        returns True (run_sweep_queued relies on this to pick the single
+        merge winner; a bare exists()-then-rename would be check-then-write)."""
         path = self._done_path(jid)
         if os.path.exists(path):
             return False
-        _atomic_write_json(path, result)
-        return True
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # atomic no-overwrite publish; one winner
+            return True
+        except FileExistsError:
+            return False
+        except OSError:
+            # Filesystems without hardlinks (rare; some FUSE mounts): fall
+            # back to O_EXCL create + copy — still a single winner.
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as out, open(tmp) as src:
+                out.write(src.read())
+            return True
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def pending(self) -> List[str]:
         return [j[self.id_key] for j in self.jobs()

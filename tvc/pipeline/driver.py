@@ -264,17 +264,30 @@ def run_sweep_queued(
     def run_unit(job):
         vid, q = job["video"], job["quality"]
 
-        def heartbeat_cb(_q, _thr, _x_ge):
-            wq.heartbeat(job["id"])  # renew the claim once per rate point
+        # Renew the claim from a background thread every 60s for the whole
+        # unit: the first unit also pays sampler+codec compile (minutes on the
+        # TPU backend), which would exceed `stale_after` between per-point
+        # renewals and get a live worker's claim stolen.
+        stop = threading.Event()
 
-        points = rate_sweep(
-            cfg, data[vid], coders, predictor, lpips_metric,
-            fvd_metric=fvd_metric if with_fvd else None,
-            qualities=[q], thresholds=thresholds,
-            key=jax.random.PRNGKey(cfg.seed + vid),
-            num_frames_total=min(30, data[vid].shape[0]),
-            artifact_cb=heartbeat_cb, verbose=False,
-        )
+        def _beat():
+            while not stop.wait(60.0):
+                wq.heartbeat(job["id"])
+
+        beat = threading.Thread(target=_beat, daemon=True)
+        beat.start()
+        try:
+            points = rate_sweep(
+                cfg, data[vid], coders, predictor, lpips_metric,
+                fvd_metric=fvd_metric if with_fvd else None,
+                qualities=[q], thresholds=thresholds,
+                key=jax.random.PRNGKey(cfg.seed + vid),
+                num_frames_total=min(30, data[vid].shape[0]),
+                verbose=False,
+            )
+        finally:
+            stop.set()
+            beat.join()
         return {"video": vid, "points": [dataclasses.asdict(p) for p in points]}
 
     n = wq.drain(owner, run_unit)

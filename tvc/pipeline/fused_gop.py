@@ -78,11 +78,16 @@ class FusedGOPSender:
         dtype = self.predictor.dtype
 
         def code_pair(ev, frames):
-            """Device keyframe coding: fused recon + likelihood bits."""
+            """Device keyframe coding: fused recon + PER-FRAME likelihood bits.
+
+            Per-frame bits let callers mask out frames past the GOP end: the
+            host loop's tail fallback slices `video_gt[l:l+nc]`, which numpy
+            clamps to the real frames, so the fused path must not count bits
+            for padded positions >= T."""
             out = elic.apply(ev, frames, method=elic.inference)
             lk = out["likelihoods"]
-            bits = -(jnp.sum(jnp.log2(lk["y"].astype(jnp.float32)))
-                     + jnp.sum(jnp.log2(lk["z"].astype(jnp.float32))))
+            bits = -(jnp.sum(jnp.log2(lk["y"].astype(jnp.float32)), axis=(1, 2, 3))
+                     + jnp.sum(jnp.log2(lk["z"].astype(jnp.float32)), axis=(1, 2, 3)))
             # clamp like the real decode path (Network.py:529); inference()
             # itself returns g_s output unclamped
             return jnp.clip(out["x_hat"].astype(jnp.float32), 0.0, 1.0), bits
@@ -96,6 +101,7 @@ class FusedGOPSender:
             accepts = jnp.full((max_updates,), -1, jnp.int32)
 
             dec0, bits0 = code_pair(ev, video[:nc])
+            bits0 = jnp.sum(bits0)  # initial pair is always fully inside the GOP
             x_ge = jax.lax.dynamic_update_slice(x_ge, dec0, (0, 0, 0, 0))
             d = jax.lax.dynamic_update_slice(d, jnp.ones((nc,), jnp.int32), (0,))
 
@@ -148,10 +154,13 @@ class FusedGOPSender:
                     gt2 = jax.lax.dynamic_slice(
                         video, (count, 0, 0, 0), (nc, size, size, c))
                     dec, b2 = code_pair(ev, gt2)
+                    # frames past the GOP end are padding — count no bits for
+                    # them (host loop slices video_gt[l:l+nc], clamped to T)
+                    valid2 = ((count + jnp.arange(nc)) < T).astype(jnp.float32)
                     x_ge = jax.lax.dynamic_update_slice(x_ge, dec, (count, 0, 0, 0))
                     d = jax.lax.dynamic_update_slice(
                         d, jnp.ones((nc,), jnp.int32), (count,))
-                    return x_ge, d, bits + b2
+                    return x_ge, d, bits + jnp.sum(b2 * valid2)
 
                 def accepted(ops):
                     return ops
@@ -184,8 +193,11 @@ class FusedGOPSender:
     def _prep_video(self, video_gt: np.ndarray) -> jnp.ndarray:
         T = self.num_frames_total
         v = jnp.asarray(video_gt[:T], jnp.float32)
-        return jnp.concatenate(
-            [v, jnp.zeros((self._pad,) + v.shape[1:], jnp.float32)], axis=0)
+        # replicate (not zero) padding past T: a tail fallback codes the pad
+        # region jointly with real frames, and replicated content keeps the
+        # coded batch natural; its bits are masked out regardless (code_pair)
+        pad = jnp.broadcast_to(v[-1:], (self._pad,) + v.shape[1:])
+        return jnp.concatenate([v, pad], axis=0)
 
     def run(self, video_gt: np.ndarray, key: jax.Array, threshold: float,
             forced_accepts: Optional[np.ndarray] = None,
