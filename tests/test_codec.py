@@ -209,3 +209,17 @@ def test_subpixel_deconv_equals_conv_transpose():
         want = ref.apply(v, x)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_factorized_quantize_contract(model_and_vars):
+    """fb.quantize must equal decompress(compress(z)) bitwise (coding.py
+    exact path shortcuts the z rANS with it)."""
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables)
+    z = (RNG.randn(2, 4, 4, model.N) * 3).astype(np.float32)
+    z_hat, sym = coder.fb.quantize(z)
+    strings = coder.fb.compress(z)
+    z_dec = coder.fb.decompress(strings, (4, 4))
+    assert z_hat.tobytes() == z_dec.tobytes()
+    strings2 = coder.fb.compress_symbols(sym)
+    assert [bytes(s) for s in strings] == [bytes(s) for s in strings2]

@@ -193,6 +193,21 @@ class FactorizedCoder:
             self.cdf, self.cdf_length, self.offset,
         )
 
+    def quantize(self, z: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Encoder-side (z_hat, symbols) without touching rANS.
+
+        z_hat equals `decompress(compress(z), hw)` bitwise by the coder's
+        contract — decompress returns sym + median in f32 and sym is
+        round(z - median) (asserted by test_factorized_quantize_contract).
+        Lets `ELICCoder.compress` take the hyper path off the rANS critical
+        path (the z encode runs on a worker thread)."""
+        zc = np.transpose(z, (0, 3, 1, 2))
+        med = self.medians[None, :, None, None]
+        sym = np.round(zc - med).astype(np.int32)
+        vals = sym.astype(np.float32) + med.astype(np.float32)
+        return (np.transpose(vals, (0, 2, 3, 1)),
+                np.transpose(sym, (0, 2, 3, 1)))
+
     def compress_symbols(self, sym: np.ndarray) -> List[bytes]:
         """Encode pre-computed integer symbols sym = round(z - median), NHWC.
 

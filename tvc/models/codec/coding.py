@@ -239,9 +239,11 @@ class ELICCoder:
         z_np, y_packed_np = jax.device_get(fns["enc"](v, jnp.asarray(x, jnp.float32)))
         t_enc = time.time() - t0
 
+        # z_hat directly from quantization (== fb.decompress(fb.compress(z))
+        # by the coder's contract, asserted in test_entropy); the z rANS
+        # encode itself is off the critical path and runs on a worker thread.
         t0 = time.time()
-        z_strings = self.fb.compress(z_np)
-        z_hat = self.fb.decompress(z_strings, z_np.shape[1:3])
+        z_hat, z_sym = self.fb.quantize(z_np)
         t_z = time.time() - t0
 
         t0 = time.time()
@@ -251,13 +253,26 @@ class ELICCoder:
         M = sum(groups)
         offs = np.concatenate([[0], np.cumsum(groups)])
 
+        # The per-slice parameter programs are the SAME executables
+        # decompress runs — that shared-executable property is what makes a
+        # separately-running receiver reproduce the parameters bitwise. (A
+        # round-3 attempt to fuse the whole encoder chain into one program
+        # was reverted: XLA's fusion choices change with program scope, and
+        # at full model width the fused chain's params differed from the
+        # split programs' at the ulp level — enough to flip scale-table
+        # indexes and desync streams; caught by the end-to-end receiver
+        # byte-identity check.) The rANS encodes DO all run concurrently on
+        # the pool (the C++ coder is stateless and releases the GIL), and
+        # the z encode + final synthesis are dispatched off the critical
+        # path.
         t0 = time.time()
         string_futs: List[List[Any]] = []
         anchor_decs: List[np.ndarray] = []
         nonanchor_qs: List[np.ndarray] = []
         y_hat_first = None
         y_anchor_dec_prev = packed_nonanchor_prev = None
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            z_fut = pool.submit(self.fb.compress_symbols, z_sym)
             for i in range(self.model.num_slices):
                 sup, y_hat_first, pa = fns["phase1"][i](
                     self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
@@ -276,7 +291,12 @@ class ELICCoder:
                 anchor_decs.append(np.asarray(y_anchor_dec))
                 nonanchor_qs.append(non_anchor_q)
                 string_futs.append([anchor_fut, non_anchor_fut])
+            if return_recon:
+                # dispatch synthesis while the rANS encodes drain
+                t_syn = time.time()
+                x_hat = fns["syn"](v, anchor_decs, nonanchor_qs)
             y_strings = [[a.result(), n.result()] for a, n in string_futs]
+            z_strings = z_fut.result()
         t_params = time.time() - t0
 
         out = {
@@ -285,10 +305,8 @@ class ELICCoder:
             "time": {"y_enc": t_enc, "z_enc": t_z, "z_dec": t_zdec, "params": t_params},
         }
         if return_recon:
-            t0 = time.time()
-            x_hat = fns["syn"](v, anchor_decs, nonanchor_qs)
             out["x_hat"] = np.asarray(x_hat)
-            out["time"]["y_dec"] = time.time() - t0
+            out["time"]["y_dec"] = time.time() - t_syn
         return out
 
     def _compress_fused(self, x: np.ndarray, return_recon: bool) -> Dict[str, Any]:
