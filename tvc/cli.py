@@ -57,12 +57,17 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--lpips-lin", type=str, default=None, help="lpips linear heads .pth")
     ap.add_argument("--bench-264", type=str, default=None)
     ap.add_argument("--bench-265", type=str, default=None)
+    ap.add_argument("--sim-codec", action="store_true",
+                    help="opt into the fused device-simulation codec for "
+                         "keyframes (rate-exact, self-consistent, faster per "
+                         "keyframe event, but streams are only decodable by "
+                         "the encoder's own compiled programs). Default is "
+                         "the exact transmissible path: host-CPU entropy-"
+                         "parameter programs shared with the receiver, so "
+                         "sweep outputs match what a real receiver decodes "
+                         "bit-exactly")
     ap.add_argument("--exact-streams", action="store_true",
-                    help="code keyframes through the exact transmissible "
-                         "bitstream path (host-CPU entropy-parameter programs "
-                         "shared with the receiver) instead of the default "
-                         "fused device simulation; results match what a real "
-                         "receiver decodes, at higher per-keyframe cost")
+                    help=argparse.SUPPRESS)  # pre-round-3 spelling of the (now default) exact path
     ap.add_argument("--batched", type=int, default=0,
                     help="run all (video,q,rho) jobs as lockstep-batched GOP "
                          "chains with this batch size (0 = sequential)")
@@ -88,17 +93,19 @@ def cmd_sweep(argv: List[str]) -> int:
     import jax
     import jax.numpy as jnp
 
-    if args.fused_gop and (args.exact_streams or args.batched or args.queue_dir):
+    if args.fused_gop and (args.batched or args.queue_dir):
         print("[tvc] --fused-gop is sequential-mode only and uses the device "
-              "codec; drop --exact-streams/--batched/--queue-dir")
+              "codec; drop --batched/--queue-dir")
         return 2
 
     cfg = _load_cfg(args)
-    if args.exact_streams:
-        cfg.codec.exact_streams = True
-    else:
-        print("[tvc] codec path: fused device simulation (pass "
-              "--exact-streams for receiver-bit-exact keyframe coding)")
+    if args.sim_codec:
+        cfg.codec.exact_streams = False
+        print("[tvc] codec path: fused device simulation (--sim-codec); "
+              "streams are NOT receiver-decodable — default is the exact "
+              "transmissible path")
+    elif args.exact_streams:
+        cfg.codec.exact_streams = True  # already the default
 
     from tvc.metrics.fvd import FVDMetric
     from tvc.metrics.lpips import LPIPSMetric
@@ -267,8 +274,16 @@ def cmd_codec(argv: List[str]) -> int:
 def cmd_anchors(argv: List[str]) -> int:
     ap = argparse.ArgumentParser(prog="tvc anchors")
     ap.add_argument("--data-npy", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", required=True,
+                    help="output .npy path (generic mode) or directory "
+                         "(--preset mode)")
     ap.add_argument("--workdir", default="/tmp/tvc_anchors")
+    ap.add_argument("--preset", choices=["city", "uvg", "smm"], default=None,
+                    help="per-dataset sweep reproducing the reference's "
+                         "bench_{city,uvg,smm}.py semantics (codecs, pix_fmt, "
+                         "frame counts, output naming); writes "
+                         "bench_<preset>_26{4,5}.npy + per-video txt + an "
+                         "averaged-curve plot into --output")
     ap.add_argument("--codec", choices=["libx264", "libx265"], default="libx264")
     ap.add_argument("--qp-min", type=int, default=0)
     ap.add_argument("--qp-max", type=int, default=51)
@@ -283,6 +298,25 @@ def cmd_anchors(argv: List[str]) -> int:
         print("ffmpeg not available; anchor harness requires it", file=sys.stderr)
         return 2
     import numpy as np
+
+    if args.preset:
+        from tvc.bench.presets import PRESETS, plot_average_curves, run_preset
+
+        preset = PRESETS[args.preset]
+        data = load_dataset(args.data_npy)
+        if args.end_idx > 0:
+            data = data[args.start_idx: args.end_idx + 1]
+        arrays = run_preset(preset, data, args.workdir, args.output,
+                            qp_range=range(args.qp_min, args.qp_max + 1))
+        plot_average_curves(
+            os.path.join(args.output, f"bench_{preset.name}_avg.png"),
+            anchors_264=arrays.get("libx264"),
+            anchors_265=arrays.get("libx265"),
+            title=f"{preset.name} anchors",
+        )
+        print(f"preset {preset.name}: wrote {sorted(os.listdir(args.output))[:6]}... "
+              f"-> {args.output}")
+        return 0
 
     data = load_dataset(args.data_npy)[args.start_idx : args.end_idx + 1]
     arr = build_anchor_array(data, args.workdir, args.codec,

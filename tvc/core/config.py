@@ -117,17 +117,18 @@ class CodecConfig:
     num_slices: int = 5
     groups: Tuple[int, ...] = (16, 16, 32, 64, 192)  # uneven channel groups
     patch: int = 64  # pad H,W to multiples of this before coding
-    # In-process sweeps default to the fused single-device-program simulation
-    # (the reference's own semantics: city_sender.py simulates both ends in
-    # one process). NOTE this default changed in round 1: fused symbols come
-    # from device arithmetic round(y - mu), so sweep recon/bpp/decisions can
-    # differ at quantization boundaries from what a real receiver decodes;
-    # pass `tvc sweep --exact-streams` (or set this True) to route sweeps
-    # through the host-CPU entropy-parameter programs whose streams a
-    # separately-running receiver decodes bit-exactly. The transmissible TVC1
+    # Default (round 3): the TRANSMISSIBLE path. Keyframes are coded through
+    # the host-CPU entropy-parameter programs whose streams a separately
+    # running receiver decodes bit-exactly — default `tvc sweep` outputs are
+    # therefore decodable from TVC1 containers alone. Setting this False
+    # (CLI: `--sim-codec`) opts into the fused single-device-program
+    # simulation: rate-exact and self-consistent (the reference's own
+    # in-process semantics, city_sender.py simulates both ends in one
+    # process), faster per keyframe event, but its streams are only
+    # guaranteed decodable by the encoder's own compiled programs. The TVC1
     # container path always forces exact=True regardless of this flag
     # (tvc/pipeline/sender.py run_gop keep_streams branch).
-    exact_streams: bool = False
+    exact_streams: bool = True
 
 
 @dataclass
