@@ -100,10 +100,18 @@ def test_matches_host_loop_trajectory(fused_setup):
     fused_x = np.asarray(out["x_ge"])
     np.testing.assert_allclose(fused_x, gop.x_ge[0], atol=2e-3)
     # likelihood-estimate bits are the entropy-estimation bpp
-    # (Network.py:534-640): same order as the rANS byte count, but the coder
-    # quantizes scales to the 64-entry table and pays stream overhead, so the
-    # two legitimately differ — especially under random-init params.
-    assert abs(float(out["bits"]) - gop.bits) / gop.bits < 0.5
+    # (Network.py:534-640). Under RANDOM-INIT params the two legitimately
+    # deviate in BOTH directions: the real coder rounds predicted scales UP
+    # to the 64-entry table (cheaper than the raw-scale likelihood when
+    # residuals are heavy-tailed, as they are under random weights) and
+    # bypass-codes extreme outliers at capped cost, while near-boundary
+    # scales pay a table-quantization premium. Measured here: est/real
+    # ~1.19. The CALIBRATED bound lives where it is measurable —
+    # test_entropy.py::test_gaussian_rate_estimate_calibrated_on_table_scales
+    # asserts <6% with scales on table entries. This band just pins the
+    # estimate to the right scale.
+    est, real = float(out["bits"]), float(gop.bits)
+    assert 0.6 < est / real < 1.5, (est, real)
 
 
 def test_rate_sweep_fused_path(fused_setup):
@@ -121,7 +129,6 @@ def test_rate_sweep_fused_path(fused_setup):
     assert p.bpp > 0 and np.isfinite(p.lpips_list).all()
 
 
-@pytest.mark.slow
 def test_run_sharded_on_mesh(fused_setup):
     """Chains shard over the mesh data axis (8 virtual CPU devices)."""
     from tvc.parallel.mesh import make_mesh

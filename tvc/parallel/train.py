@@ -147,3 +147,55 @@ def dryrun_multichip(n_devices: int) -> None:
         )(jax.random.PRNGKey(2), x0, cond)
         out.block_until_ready()
         assert np.all(np.isfinite(np.asarray(out)))
+
+    # --- the multi-chip SERVING path: sharded whole-GOP encode ---------
+    # (FusedGOPSender.run_sharded — the product program chips actually run;
+    # VERDICT r2 item 5). ELIC needs 64x64 inputs (16x g_a + 4x h_a
+    # downsampling), so this leg uses its own tiny-GOP config.
+    dryrun_serving(mesh)
+
+
+def dryrun_serving(mesh) -> None:
+    """Compile + run the sharded fused-GOP program (one whole-GOP chain per
+    data-axis slot) on tiny shapes: sampler scan, PSNR accept decisions,
+    fallback keyframe coding, and the lockstep while_loop all under one
+    sharded jit."""
+    import numpy as np
+
+    from tvc.models.codec.coding import ELICCoder
+    from tvc.models.codec.elic import ELICModel
+    from tvc.pipeline.fused_gop import FusedGOPSender
+    from tvc.pipeline.predictor import FramePredictor
+
+    cfg = tiny_train_config(mesh.devices.size)
+    cfg.data.image_size = 64
+    cfg.model.attn_resolutions = (32,)
+    cfg.sampling.subsample = 2
+    cfg.model.num_classes = 4
+    cfg.codec.patch = 64
+    T = 6
+
+    predictor = FramePredictor.create(cfg, jax.random.PRNGKey(3), fast_init=True)
+    elic = ELICModel(N=32, M=48, groups=(8, 8, 32))
+    ev = elic.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))
+    coder = ELICCoder(elic, ev)
+    sender = FusedGOPSender(cfg=cfg, predictor=predictor, coder=coder,
+                            lpips=None, use_psnr=True, num_frames_total=T)
+
+    from jax.sharding import Mesh
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("data",))
+    B = flat_mesh.shape["data"]
+    videos = np.broadcast_to(
+        np.linspace(0, 1, T * 64 * 64 * 3, dtype=np.float32).reshape(T, 64, 64, 3),
+        (B, T, 64, 64, 3),
+    )
+    keys = jnp.stack([jax.random.PRNGKey(50 + i) for i in range(B)])
+    thresholds = np.full((B,), -np.inf, np.float32)  # PSNR >= -inf: accept all
+    with flat_mesh:
+        out = sender.run_sharded(flat_mesh, videos, keys, thresholds)
+        d = np.asarray(out["d"])
+    nc = cfg.data.num_frames_cond
+    assert d.shape == (B, T)
+    assert (d[:, :nc] == 1).all() and (d[:, nc:] == 0).all(), d[0]
+    assert np.isfinite(np.asarray(out["x_ge"])).all()
