@@ -64,6 +64,44 @@ def write_yuv420(frames_rgb01: np.ndarray, path: str) -> None:
                 f.write((np.clip(plane, 0, 1) * 255).round().astype(np.uint8).tobytes())
 
 
+def write_gray(frames01: np.ndarray, path: str) -> None:
+    """(T,H,W[,1]) [0,1] -> planar 8-bit gray file (bench_smm.py:130 coding
+    path: SMMNIST anchors code the luma plane only, `-pix_fmt gray`)."""
+    if frames01.ndim == 4:
+        frames01 = frames01.mean(-1) if frames01.shape[-1] == 3 else frames01[..., 0]
+    with open(path, "wb") as f:
+        f.write((np.clip(frames01, 0, 1) * 255).round().astype(np.uint8).tobytes())
+
+
+def read_gray_rgb(path: str, width: int, height: int, num_frames: int) -> np.ndarray:
+    """Planar gray file -> (T,H,W,3) RGB [0,1] (gray replicated to 3ch, the
+    metric stack's `trans` convention for 1-channel video)."""
+    data = np.fromfile(path, dtype=np.uint8)
+    fs = width * height
+    t = min(num_frames, len(data) // fs)
+    g = data[: t * fs].reshape(t, height, width).astype(np.float32) / 255.0
+    return np.repeat(g[..., None], 3, axis=-1)
+
+
+def ffmpeg_encode(raw: str, mp4: str, codec: str, qp: int, w: int, h: int,
+                  framerate: int, pix_fmt: str) -> None:
+    """One ffmpeg encode invocation (bench.py:436 / bench_smm.py:130).
+    Module-level so tests can stub the codec without an ffmpeg binary."""
+    subprocess.run(
+        f"ffmpeg -loglevel error -framerate {framerate} -video_size {w}x{h} "
+        f"-pix_fmt {pix_fmt} -f rawvideo -i {raw} -c:v {codec} -preset veryfast "
+        f"-s {w}x{h} -crf {qp} -pix_fmt {pix_fmt} -tune zerolatency {mp4} -y",
+        shell=True, check=True,
+    )
+
+
+def ffmpeg_decode(mp4: str, rec: str, pix_fmt: str) -> None:
+    subprocess.run(
+        f"ffmpeg -loglevel error -i {mp4} -pix_fmt {pix_fmt} -f rawvideo {rec} -y",
+        shell=True, check=True,
+    )
+
+
 def read_yuv420_rgb(path: str, width: int, height: int, num_frames: int) -> np.ndarray:
     """Decode a yuv420p file to (T,H,W,3) RGB [0,1] (bicubic chroma up)."""
     data = np.fromfile(path, dtype=np.uint8)
@@ -84,33 +122,36 @@ def compress_and_evaluate(
     framerate: int = 30,
     lpips_metric=None,
     fvd_metric=None,
+    pix_fmt: str = "yuv420p",
+    require_ffmpeg: bool = True,
 ) -> np.ndarray:
-    """One video through the CRF sweep (bench.py:424-528).
+    """One video through the CRF sweep (bench.py:424-528; gray pix_fmt:
+    bench_smm.py:120-190).
 
     Returns (4, len(qp_range)): rows psnr, lpips, fvd, bpp.
     """
-    assert have_ffmpeg(), "ffmpeg binary not available"
+    if require_ffmpeg:
+        assert have_ffmpeg(), "ffmpeg binary not available"
     os.makedirs(workdir, exist_ok=True)
     t, h, w, _ = video_rgb01.shape
     raw = os.path.join(workdir, "input.yuv")
-    write_yuv420(video_rgb01, raw)
+    if pix_fmt == "gray":
+        write_gray(video_rgb01, raw)
+    else:
+        write_yuv420(video_rgb01, raw)
 
     psnrs, lpipss, fvds, bpps = [], [], [], []
     for qp in qp_range:
         mp4 = os.path.join(workdir, f"compressed_qp{qp}_{codec}.mp4")
         rec = os.path.join(workdir, f"rec_qp{qp}.yuv")
-        subprocess.run(
-            f"ffmpeg -loglevel error -framerate {framerate} -video_size {w}x{h} "
-            f"-pix_fmt yuv420p -f rawvideo -i {raw} -c:v {codec} -preset veryfast "
-            f"-s {w}x{h} -crf {qp} -pix_fmt yuv420p -tune zerolatency {mp4} -y",
-            shell=True, check=True,
-        )
-        subprocess.run(
-            f"ffmpeg -loglevel error -i {mp4} -pix_fmt yuv420p -f rawvideo {rec} -y",
-            shell=True, check=True,
-        )
-        org = read_yuv420_rgb(raw, w, h, t)
-        dec = read_yuv420_rgb(rec, w, h, t)
+        ffmpeg_encode(raw, mp4, codec, qp, w, h, framerate, pix_fmt)
+        ffmpeg_decode(mp4, rec, pix_fmt)
+        if pix_fmt == "gray":
+            org = read_gray_rgb(raw, w, h, t)
+            dec = read_gray_rgb(rec, w, h, t)
+        else:
+            org = read_yuv420_rgb(raw, w, h, t)
+            dec = read_yuv420_rgb(rec, w, h, t)
 
         # 8-bit rounded PSNR like the reference (bench.py:499-503)
         org_u8 = np.clip(org * 255, 0, 255).round()
