@@ -133,3 +133,27 @@ def test_rd_envelopes():
     env2 = lpips_envelope(bpps, lp)
     order = np.argsort(env2[0])
     assert np.all(np.diff(env2[1][order]) <= 0)
+
+
+def test_nearest_neighbor_indices_and_grid(tmp_path):
+    """NN retrieval (evaluation/nearest_neighbor.py port): planted nearest
+    neighbors must be found, the flip-trick must take the min distance, and
+    the grid artifact must be written with one row per sample."""
+    from tvc.metrics.fid_pr import nearest_neighbor_indices, save_nearest_neighbor_grid
+
+    rng = np.random.RandomState(0)
+    data_feats = rng.randn(50, 16).astype(np.float32) * 10
+    # sample 0 is nearest data 7; its FLIPPED version is nearest data 3
+    s = np.stack([data_feats[7] + 0.01, data_feats[20] + 0.01])
+    s_flip = np.stack([data_feats[3] + 0.001, data_feats[20] + 5.0])
+    idx = nearest_neighbor_indices(s, data_feats, k=3)
+    assert idx.shape == (2, 3)
+    assert idx[0, 0] == 7 and idx[1, 0] == 20
+    idx_f = nearest_neighbor_indices(s, data_feats, k=3, feat_samples_flipped=s_flip)
+    assert idx_f[0, 0] == 3  # flip distance wins for sample 0
+
+    samples = rng.rand(2, 8, 8, 3).astype(np.float32)
+    data = rng.rand(50, 8, 8, 3).astype(np.float32)
+    png = tmp_path / "nn.png"
+    save_nearest_neighbor_grid(samples, data, idx, str(png))
+    assert png.exists() and png.stat().st_size > 200

@@ -73,3 +73,46 @@ def get_fid_pr(
     fid = fid_from_features(feats_real, feats_fake)
     precision, recall = calculate_precision_recall(feats_real, feats_fake, k=k)
     return fid, precision, recall
+
+
+def nearest_neighbor_indices(
+    feat_samples: np.ndarray,
+    feat_data: np.ndarray,
+    k: int = 9,
+    feat_samples_flipped: Optional[np.ndarray] = None,
+    batch_size: int = 10000,
+) -> np.ndarray:
+    """Top-k nearest dataset indices per sample in Inception-feature space
+    (evaluation/nearest_neighbor.py:70-113).
+
+    Matches the reference's flip trick: when features of horizontally
+    flipped samples are supplied, the per-dataset-image distance is the min
+    over the original and flipped queries. Returns (n_samples, k) int
+    indices into feat_data, nearest first."""
+    d = _cdist(feat_samples, feat_data, batch_size)
+    if feat_samples_flipped is not None:
+        d = np.minimum(d, _cdist(feat_samples_flipped, feat_data, batch_size))
+    return np.argsort(d, axis=1)[:, :k]
+
+
+def save_nearest_neighbor_grid(
+    samples: np.ndarray,
+    data: np.ndarray,
+    indices: np.ndarray,
+    out_png: str,
+) -> None:
+    """(n, H, W, C) samples + dataset + (n, k) indices -> grid PNG, one row
+    per sample: [sample | k nearest dataset images]
+    (nearest_neighbor.py:105-113 `save_image(nrow=k+1)`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n, k = indices.shape
+    rows = [np.concatenate([samples[i]] + [data[j] for j in indices[i]], axis=1)
+            for i in range(n)]
+    grid = np.concatenate(rows, axis=0)
+    if grid.shape[-1] == 1:
+        grid = np.repeat(grid, 3, axis=-1)
+    plt.imsave(out_png, np.clip(grid, 0.0, 1.0))
