@@ -20,7 +20,13 @@ import numpy as np
 
 
 def time_chain(name, make_op, x_shape, dtype, iters, params=None, reps=3):
-    """op: y = f(params, x); chained via scalar feedback into x."""
+    """op: y = f(params, x); chained via scalar feedback into x.
+
+    SLOPE timing: the chain is compiled at two lengths (iters and iters//4)
+    and the per-op time is (t_long - t_short) / (n_long - n_short). This
+    cancels the constant per-call cost — on the axon tunneled backend the
+    dispatch+fetch RTT is ~30 ms, which would otherwise put a ~1 ms/op
+    floor under every measurement at iters=30 (round-2 numbers had this)."""
     x0 = jnp.asarray(np.random.RandomState(0).rand(*x_shape), dtype)
     op = make_op()
 
@@ -29,18 +35,26 @@ def time_chain(name, make_op, x_shape, dtype, iters, params=None, reps=3):
         y = op(params, x) if params is not None else op(x)
         return jnp.mean(y.astype(jnp.float32)), None
 
-    @jax.jit
-    def chain(s0):
-        s, _ = jax.lax.scan(step, s0, None, length=iters)
-        return s
+    def make_chain(n):
+        @jax.jit
+        def chain(s0):
+            s, _ = jax.lax.scan(step, s0, None, length=n)
+            return s
+        return chain
 
-    np.asarray(chain(jnp.float32(0.0)))  # compile
-    times = []
+    n_long, n_short = iters, max(iters // 4, 1)
+    c_long, c_short = make_chain(n_long), make_chain(n_short)
+    np.asarray(c_long(jnp.float32(0.0)))  # compile
+    np.asarray(c_short(jnp.float32(0.0)))
+    tl, ts = [], []
     for r in range(reps):
         t0 = time.time()
-        np.asarray(chain(jnp.float32(r)))
-        times.append(time.time() - t0)
-    t = min(times) / iters
+        np.asarray(c_long(jnp.float32(r)))
+        tl.append(time.time() - t0)
+        t0 = time.time()
+        np.asarray(c_short(jnp.float32(r)))
+        ts.append(time.time() - t0)
+    t = (min(tl) - min(ts)) / (n_long - n_short)
     print(f"{name:42s} {t * 1e6:9.1f} us/op", flush=True)
     return t
 
@@ -50,10 +64,12 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--only", type=str, default="")
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    ap.add_argument("--batch", type=int, default=1, help="batch size for every op (serving-path B=8 analysis)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     it = args.iters
+    B = args.batch
 
     import flax.linen as nn
 
@@ -74,17 +90,17 @@ def main():
         for (cin, cout, res) in [(192, 192, 128), (384, 192, 128), (192, 192, 64),
                                  (384, 384, 32), (768, 768, 8)]:
             op, v = flax_op(DDPMConv(out_ch=cout, kernel_size=3, dtype=dt),
-                            (1, res, res, cin))
-            flops = res * res * 9 * cin * cout * 2
+                            (B, res, res, cin))
+            flops = B * res * res * 9 * cin * cout * 2
             t = time_chain(f"conv3x3 {cin}->{cout} @{res}^2", lambda: op,
-                           (1, res, res, cin), dt, it, params=v)
+                           (B, res, res, cin), dt, it, params=v)
             print(f"    -> {flops / t / 1e12:.1f} TFLOP/s effective")
 
     if sel("gn"):
         for (ch, res) in [(192, 128), (192, 64), (384, 32)]:
-            op, v = flax_op(GroupNormRef(ch=ch, dtype=dt), (1, res, res, ch))
+            op, v = flax_op(GroupNormRef(ch=ch, dtype=dt), (B, res, res, ch))
             time_chain(f"groupnorm {ch} @{res}^2 (f32 stats)", lambda: op,
-                       (1, res, res, ch), dt, it, params=v)
+                       (B, res, res, ch), dt, it, params=v)
 
     if sel("res"):
         class _Res(nn.Module):
@@ -93,9 +109,9 @@ def main():
                 temb = jnp.zeros((x.shape[0], 768), dt)
                 return ResnetBlockBigGAN(in_ch=x.shape[-1], out_ch=192, dtype=dt,
                                          name="r")(x, temb)
-        op, v = flax_op(_Res(), (1, 128, 128, 192))
+        op, v = flax_op(_Res(), (B, 128, 128, 192))
         time_chain("resblock 192->192 @128^2 (with temb)", lambda: op,
-                   (1, 128, 128, 192), dt, it, params=v)
+                   (B, 128, 128, 192), dt, it, params=v)
 
     if sel("attn"):
         for backend in ("einsum", "pallas"):
@@ -105,13 +121,13 @@ def main():
                                 attn_backend=backend, dtype=dt),
                     (1, res, res, ch))
                 time_chain(f"attn[{backend}] {ch}ch @{res}^2", lambda: op,
-                           (1, res, res, ch), dt, it, params=v)
+                           (B, res, res, ch), dt, it, params=v)
 
     if sel("fir"):
         time_chain("fir down @128^2 x192", lambda: (lambda x: downsample_2d(x, (1, 3, 3, 1))),
-                   (1, 128, 128, 192), dt, it)
+                   (B, 128, 128, 192), dt, it)
         time_chain("fir up @64^2 x192", lambda: (lambda x: upsample_2d(x, (1, 3, 3, 1))),
-                   (1, 64, 64, 192), dt, it)
+                   (B, 64, 64, 192), dt, it)
 
     if sel("unet"):
         from tvc.core.config import Config
@@ -119,9 +135,9 @@ def main():
 
         cfg = Config()
         model = UNetMoreDDPM(cfg=cfg, dtype=dt)
-        x = jnp.zeros((1, 128, 128, 15), dt)
-        cond = jnp.zeros((1, 128, 128, 6), dt)
-        labels = jnp.zeros((1,), jnp.int32)
+        x = jnp.zeros((B, 128, 128, 15), dt)
+        cond = jnp.zeros((B, 128, 128, 6), dt)
+        labels = jnp.zeros((B,), jnp.int32)
         shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, labels, cond)
         v = jax.tree_util.tree_map(lambda s: jnp.full(s.shape, 0.01, dt)
                                    if s.dtype == jnp.float32 else jnp.zeros(s.shape, s.dtype), shapes)
