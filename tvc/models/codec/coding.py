@@ -193,18 +193,77 @@ class ELICCoder:
         decoded = np.round(y_packed_cf - mu_cf).astype(np.float32) + np.asarray(mu_cf, np.float32)
         return strings, _to_clast(decoded)
 
-    def _code_phase_async(self, pool, y_packed_cf, mu_cf, sc_cf):
-        """Like _code_phase, but the rANS encode runs on a worker thread.
-
-        Nothing downstream of compress needs the bytes (the decoded values are
-        computed directly), so the serial C++ coder — which releases the GIL
-        inside the ctypes call — overlaps with the next slice's host-CPU
-        entropy-parameter programs. Returns (future_of_strings, decoded)."""
-        fut = pool.submit(self.gc.compress, y_packed_cf, self.gc.build_indexes(sc_cf), mu_cf)
-        decoded = np.round(y_packed_cf - mu_cf).astype(np.float32) + np.asarray(mu_cf, np.float32)
-        return fut, _to_clast(decoded)
-
     # ---------------- compress ----------------
+
+    def _encode_frame_entropy(self, y_packed_f: np.ndarray, z_hat_f: np.ndarray):
+        """One frame's serial entropy chain: B=1 stage programs (incl. the
+        h_s hyper-synthesis — CPU conv_transpose is slow, so running it
+        per-frame overlaps it across frames) + inline rANS. Returns
+        (strings [slice] -> (anchor bytes, nonanchor bytes),
+        anchor_decs [slice], packed nonanchor_qs [slice]).
+
+        The decoder runs the SAME B=1 executables (decompress below), so
+        per-frame threading does not touch the bit-exactness contract."""
+        fns = self._fns
+        groups = self.model.groups
+        lm_f, ls_f = fns["hyp"](self._v_cpu, z_hat_f)
+        M = sum(groups)
+        offs = np.concatenate([[0], np.cumsum(groups)])
+        strings: List[Tuple[bytes, bytes]] = []
+        anchor_decs: List[np.ndarray] = []
+        nonanchor_qs: List[np.ndarray] = []
+        y_hat_first = None
+        y_anchor_dec_prev = packed_nonanchor_prev = None
+        for i in range(self.model.num_slices):
+            sup, y_hat_first, pa = fns["phase1"][i](
+                self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first,
+                lm_f, ls_f)
+            mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
+            ya_cf = _to_cfirst(y_packed_f[..., offs[i]: offs[i + 1]])
+            s_a, anchor_q = self._code_phase(ya_cf, mu_a, sc_a)
+
+            y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
+            mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
+            yn_cf = _to_cfirst(y_packed_f[..., M + offs[i]: M + offs[i + 1]])
+            s_n, non_anchor_q = self._code_phase(yn_cf, mu_n, sc_n)
+
+            y_anchor_dec_prev = y_anchor_dec
+            packed_nonanchor_prev = non_anchor_q
+            anchor_decs.append(np.asarray(y_anchor_dec))
+            nonanchor_qs.append(non_anchor_q)
+            strings.append((s_a[0], s_n[0]))
+        return strings, anchor_decs, nonanchor_qs
+
+    def _decode_frame_entropy(self, y_strings, f: int, z_hat_f: np.ndarray):
+        """One frame's serial entropy DECODE chain — mirror of
+        `_encode_frame_entropy` driven by the bitstreams, same B=1
+        executables (incl. per-frame h_s). Returns
+        (anchor_decs [slice], nonanchor_qs [slice])."""
+        fns = self._fns
+        groups = self.model.groups
+        lm_f, ls_f = fns["hyp"](self._v_cpu, z_hat_f)
+        anchor_decs: List[np.ndarray] = []
+        nonanchor_qs: List[np.ndarray] = []
+        y_hat_first = None
+        y_anchor_dec_prev = packed_nonanchor_prev = None
+        for i in range(self.model.num_slices):
+            sup, y_hat_first, pa = fns["phase1"][i](
+                self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first,
+                lm_f, ls_f)
+            mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
+            idx_a = self.gc.build_indexes(sc_a)
+            anchor_q = _to_clast(self.gc.decompress(y_strings[i][0][f: f + 1], idx_a, mu_a))
+
+            y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
+            mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
+            idx_n = self.gc.build_indexes(sc_n)
+            non_anchor_q = _to_clast(self.gc.decompress(y_strings[i][1][f: f + 1], idx_n, mu_n))
+
+            y_anchor_dec_prev = y_anchor_dec
+            packed_nonanchor_prev = non_anchor_q
+            anchor_decs.append(np.asarray(y_anchor_dec))
+            nonanchor_qs.append(non_anchor_q)
+        return anchor_decs, nonanchor_qs
 
     def compress(self, x: np.ndarray, return_recon: bool = False,
                  exact: bool = True) -> Dict[str, Any]:
@@ -246,12 +305,7 @@ class ELICCoder:
         z_hat, z_sym = self.fb.quantize(z_np)
         t_z = time.time() - t0
 
-        t0 = time.time()
-        lm, ls = fns["hyp"](self._v_cpu, z_hat)
-        t_zdec = time.time() - t0
-
-        M = sum(groups)
-        offs = np.concatenate([[0], np.cumsum(groups)])
+        t_zdec = 0.0  # hyper-synthesis now runs inside the per-frame chains
 
         # The per-slice parameter programs are the SAME executables
         # decompress runs — that shared-executable property is what makes a
@@ -261,41 +315,42 @@ class ELICCoder:
         # at full model width the fused chain's params differed from the
         # split programs' at the ulp level — enough to flip scale-table
         # indexes and desync streams; caught by the end-to-end receiver
-        # byte-identity check.) The rANS encodes DO all run concurrently on
-        # the pool (the C++ coder is stateless and releases the GIL), and
-        # the z encode + final synthesis are dispatched off the critical
-        # path.
+        # byte-identity check.)
+        #
+        # Parallelism that PRESERVES the contract: each frame's 5-slice
+        # chain is an independent serial dependency, so the B frames run as
+        # B concurrent per-frame (B=1-shaped) chains on host threads —
+        # decompress uses the same per-frame executables. The z encode runs
+        # on its own worker; synthesis is dispatched on the full batch
+        # before stragglers drain.
         t0 = time.time()
-        string_futs: List[List[Any]] = []
-        anchor_decs: List[np.ndarray] = []
-        nonanchor_qs: List[np.ndarray] = []
-        y_hat_first = None
-        y_anchor_dec_prev = packed_nonanchor_prev = None
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        B = y_packed_np.shape[0]
+        with ThreadPoolExecutor(max_workers=B + 1) as pool:
             z_fut = pool.submit(self.fb.compress_symbols, z_sym)
-            for i in range(self.model.num_slices):
-                sup, y_hat_first, pa = fns["phase1"][i](
-                    self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
-                )
-                mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
-                ya_cf = _to_cfirst(y_packed_np[..., offs[i] : offs[i + 1]])
-                anchor_fut, anchor_q = self._code_phase_async(pool, ya_cf, mu_a, sc_a)
-
-                y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
-                mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
-                yn_cf = _to_cfirst(y_packed_np[..., M + offs[i] : M + offs[i + 1]])
-                non_anchor_fut, non_anchor_q = self._code_phase_async(pool, yn_cf, mu_n, sc_n)
-
-                y_anchor_dec_prev = y_anchor_dec
-                packed_nonanchor_prev = non_anchor_q
-                anchor_decs.append(np.asarray(y_anchor_dec))
-                nonanchor_qs.append(non_anchor_q)
-                string_futs.append([anchor_fut, non_anchor_fut])
+            frame_futs = [
+                pool.submit(self._encode_frame_entropy,
+                            y_packed_np[f: f + 1], z_hat[f: f + 1])
+                for f in range(B)
+            ]
+            results = [fut.result() for fut in frame_futs]
+            # reassemble compressai layout: y_strings[slice] = [anchor list
+            # over batch, nonanchor list over batch]
+            y_strings = [
+                [[results[f][0][i][0] for f in range(B)],
+                 [results[f][0][i][1] for f in range(B)]]
+                for i in range(self.model.num_slices)
+            ]
+            anchor_decs = [
+                np.concatenate([results[f][1][i] for f in range(B)], axis=0)
+                for i in range(self.model.num_slices)
+            ]
+            nonanchor_qs = [
+                np.concatenate([results[f][2][i] for f in range(B)], axis=0)
+                for i in range(self.model.num_slices)
+            ]
             if return_recon:
-                # dispatch synthesis while the rANS encodes drain
                 t_syn = time.time()
                 x_hat = fns["syn"](v, anchor_decs, nonanchor_qs)
-            y_strings = [[a.result(), n.result()] for a, n in string_futs]
             z_strings = z_fut.result()
         t_params = time.time() - t0
 
@@ -362,38 +417,32 @@ class ELICCoder:
     def decompress(self, strings, shape: Tuple[int, int]) -> Dict[str, Any]:
         """Mirror of compress driven only by the bitstreams (Network.py:444-532).
 
-        The entropy-parameter chain runs through the same host-CPU programs
-        `compress(exact=True)` uses — the bit-exactness contract — and the
-        per-slice rANS decode loop therefore costs no device round-trips;
-        only the final synthesis g_s runs on the device."""
+        The per-frame entropy-decode chains run through the same B=1
+        host-CPU executables `compress(exact=True)` uses — the
+        bit-exactness contract — with the B frames decoded concurrently on
+        host threads (each frame's stream set is independent); only the
+        final batched synthesis g_s runs on the device."""
         v = self.variables
         fns = self._fns
-        groups = self.model.groups
         y_strings, z_strings = strings
         z_hat = self.fb.decompress(z_strings, shape)
-        lm, ls = fns["hyp"](self._v_cpu, z_hat)
 
-        anchor_decs: List[np.ndarray] = []
-        nonanchor_qs: List[np.ndarray] = []
-        y_hat_first = None
-        y_anchor_dec_prev = packed_nonanchor_prev = None
-        for i in range(self.model.num_slices):
-            sup, y_hat_first, pa = fns["phase1"][i](
-                self._v_cpu, y_anchor_dec_prev, packed_nonanchor_prev, y_hat_first, lm, ls
-            )
-            mu_a, sc_a = self._split_params(np.asarray(pa), groups[i])
-            idx_a = self.gc.build_indexes(sc_a)
-            anchor_q = _to_clast(self.gc.decompress(y_strings[i][0], idx_a, mu_a))
-
-            y_anchor_dec, pn = fns["phase2"][i](self._v_cpu, anchor_q, sup)
-            mu_n, sc_n = self._split_params(np.asarray(pn), groups[i])
-            idx_n = self.gc.build_indexes(sc_n)
-            non_anchor_q = _to_clast(self.gc.decompress(y_strings[i][1], idx_n, mu_n))
-
-            y_anchor_dec_prev = y_anchor_dec
-            packed_nonanchor_prev = non_anchor_q
-            anchor_decs.append(np.asarray(y_anchor_dec))
-            nonanchor_qs.append(non_anchor_q)
+        B = z_hat.shape[0]
+        with ThreadPoolExecutor(max_workers=max(B, 1)) as pool:
+            frame_futs = [
+                pool.submit(self._decode_frame_entropy, y_strings, f,
+                            z_hat[f: f + 1])
+                for f in range(B)
+            ]
+            results = [fut.result() for fut in frame_futs]
+        anchor_decs = [
+            np.concatenate([results[f][0][i] for f in range(B)], axis=0)
+            for i in range(self.model.num_slices)
+        ]
+        nonanchor_qs = [
+            np.concatenate([results[f][1][i] for f in range(B)], axis=0)
+            for i in range(self.model.num_slices)
+        ]
 
         t0 = time.time()
         x_hat = fns["syn"](v, anchor_decs, nonanchor_qs)
