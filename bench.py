@@ -85,6 +85,11 @@ def main():
             "fused_gop_cycles": res.fused_gop_cycles,
             "fps_fused_gop": round(res.fps_fused_gop, 3),
         })
+    if res.t_device_gop:
+        info.update({
+            "t_device_gop_s": round(res.t_device_gop, 3),
+            "fps_device_gop_real": round(res.fps_device_gop, 3),
+        })
     if res.throughput_batch:
         info.update({
             "throughput_batch": res.throughput_batch,

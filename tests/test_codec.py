@@ -223,3 +223,17 @@ def test_factorized_quantize_contract(model_and_vars):
     assert z_hat.tobytes() == z_dec.tobytes()
     strings2 = coder.fb.compress_symbols(sym)
     assert [bytes(s) for s in strings] == [bytes(s) for s in strings2]
+
+
+def test_device_entropy_backend_roundtrip(model_and_vars):
+    """entropy_backend='device': the shared entropy-parameter executables run
+    on the default backend instead of pinned-host-CPU (the production choice
+    on local TPU hosts where dispatch is ~0.2 ms and the 2-core VM CPU is
+    the bottleneck). Compress/decompress must stay byte-exact — same
+    executables on the same device."""
+    model, variables = model_and_vars
+    coder = ELICCoder(model, variables, entropy_backend="device")
+    x = RNG.rand(2, 64, 64, 3).astype(np.float32)
+    enc = coder.compress(x, return_recon=True)
+    dec = coder.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(enc["x_hat"], dec["x_hat"])

@@ -136,3 +136,41 @@ def test_driver_run_sweep(tmp_path, tiny_pipeline):
     out_root = tmp_path / "out" / "output_0"
     assert (out_root / "points.json").exists()
     assert (out_root / "psnr_0.npy").exists()
+
+
+def test_device_gop_runner_matches_run_gop(tiny_pipeline):
+    """DeviceGOPRunner must walk the same trajectory as run_gop given the
+    same key (identical key-split order; scores computed in-program)."""
+    import jax as _jax
+
+    from tvc.pipeline.sender import DeviceGOPRunner, Sender, run_gop
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    T = 8
+    video = np.random.RandomState(5).rand(T, 64, 64, 3).astype(np.float32)
+    runner = DeviceGOPRunner(cfg, predictor, lpips=lp, num_frames_total=T)
+
+    for thr in (np.inf, -np.inf):
+        key = _jax.random.PRNGKey(77)
+        sender = Sender(threshold=thr, cfg=cfg, predictor=predictor, lpips=lp)
+        ref = run_gop(sender, coder, video, key, T, cfg.codec.patch)
+        got = runner.run(coder, video, key, thr, patch=cfg.codec.patch)
+        assert got.d[0].tolist() == [int(v) for v in ref.d[0]], thr
+        assert got.bits == ref.bits, thr
+        np.testing.assert_allclose(got.x_ge, ref.x_ge, atol=2e-3)
+
+
+def test_device_gop_runner_forced_accepts(tiny_pipeline):
+    import jax as _jax
+
+    from tvc.pipeline.sender import DeviceGOPRunner
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    T = 8
+    video = np.random.RandomState(5).rand(T, 64, 64, 3).astype(np.float32)
+    runner = DeviceGOPRunner(cfg, predictor, lpips=lp, num_frames_total=T)
+    out = runner.run(coder, video, _jax.random.PRNGKey(3), np.inf,
+                     patch=cfg.codec.patch, forced_accepts=[0, 3, 0])
+    # init 2 + fallback 2 + gen 3 + fallback 1(clamped: 1 frame left)
+    assert out.d[0].tolist() == [1, 1, 1, 1, 0, 0, 0, 1]
+    assert out.accepts[:2] == [0, 3]

@@ -126,7 +126,8 @@ def cmd_sweep(argv: List[str]) -> int:
         else:
             print(f"[tvc] WARNING: random codec weights for q={q} (no --codec-ckpts)")
             variables = model.init(jax.random.PRNGKey(q), jnp.zeros((1, 64, 64, 3)))
-        coders[q] = ELICCoder(model, variables)
+        coders[q] = ELICCoder(model, variables,
+                              entropy_backend=cfg.codec.entropy_backend)
 
     if args.ckpt:
         variables = load_diffusion_checkpoint(args.ckpt, cfg)
@@ -238,7 +239,8 @@ def cmd_codec(argv: List[str]) -> int:
         if args.output_npy:
             np.save(args.output_npy, x_hat)
         return 0
-    coder = ELICCoder(model, variables)
+    coder = ELICCoder(model, variables,
+                      entropy_backend=cfg.codec.entropy_backend)
     if args.from_bitstream:
         # receiver: decode the container only
         from tvc.models.codec import container

@@ -129,6 +129,14 @@ class CodecConfig:
     # container path always forces exact=True regardless of this flag
     # (tvc/pipeline/sender.py run_gop keep_streams branch).
     exact_streams: bool = True
+    # Where the shared entropy-parameter executables run (coding.py):
+    #   "cpu"    — pinned host-CPU programs (right for tunneled/remote
+    #              devices where every blocking fetch costs a long RTT);
+    #   "device" — the accelerator (production choice on local TPU hosts:
+    #              ~0.2 ms dispatch, and the chain's convs take ~1 ms on the
+    #              MXU vs ~80 ms on a 2-core cloud-VM CPU). Sender and
+    #              receiver must use the same backend.
+    entropy_backend: str = "cpu"
 
 
 @dataclass

@@ -64,8 +64,8 @@ def _to_clast(x: np.ndarray) -> np.ndarray:
 _STAGE_CACHE: Dict[Tuple, dict] = {}
 
 
-def _stage_fns(m: ELICModel) -> dict:
-    key = (m.N, m.M, tuple(m.groups), str(m.dtype))
+def _stage_fns(m: ELICModel, entropy_backend: str = "cpu") -> dict:
+    key = (m.N, m.M, tuple(m.groups), str(m.dtype), entropy_backend)
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
 
@@ -123,14 +123,24 @@ def _stage_fns(m: ELICModel) -> dict:
     def _comp(v, x, return_recon):
         return m.apply(v, x, return_recon, method=ELICModel.compress_forward)
 
-    # Entropy-parameter programs are jitted FOR THE HOST CPU: compress and
-    # decompress share these executables, which is what guarantees bit-equal
-    # params on both ends (see module docstring). Everything else targets the
-    # default backend.
+    # Entropy-parameter programs: compress and decompress share these
+    # executables, which is what guarantees bit-equal params on both ends
+    # (see module docstring). entropy_backend picks WHERE they run:
+    #   "cpu"    (default) — host CPU, right next to the rANS coder. The
+    #            right choice when device dispatch is expensive (the axon
+    #            tunnel pays ~30 ms per blocking fetch, and decompress must
+    #            block once per phase for the rANS interleave).
+    #   "device" — the accelerator. The production choice on a local TPU
+    #            host (dispatch ~0.2 ms): the 2-core host CPU of typical
+    #            cloud-TPU VMs takes ~80 ms for the 5-slice conv chain that
+    #            the TPU does in ~1 ms. Both ends must use the same backend
+    #            (same-model accelerators execute identically run-to-run).
     try:
         cpu_dev = jax.devices("cpu")[0]
     except RuntimeError:  # pragma: no cover - cpu backend always exists today
         cpu_dev = None
+    if entropy_backend == "device":
+        cpu_dev = None  # default backend == the accelerator
 
     def jit_cpu(f):
         return jax.jit(f, device=cpu_dev) if cpu_dev is not None else jax.jit(f)
@@ -154,14 +164,16 @@ class ELICCoder:
     # params the host-CPU entropy-parameter programs actually touch
     _ENTROPY_PREFIXES = ("h_s_", "cc_", "ctx_", "agg_", "entropy_bottleneck")
 
-    def __init__(self, model: ELICModel, variables: dict):
+    def __init__(self, model: ELICModel, variables: dict,
+                 entropy_backend: str = "cpu"):
+        assert entropy_backend in ("cpu", "device"), entropy_backend
         self.model = model
         self.variables = variables
         self.fb = FactorizedCoder(
             jax.tree_util.tree_map(np.asarray, variables["params"]["entropy_bottleneck"])
         )
         self.gc = GaussianCoder()
-        self._fns = _stage_fns(model)
+        self._fns = _stage_fns(model, entropy_backend)
         # host-CPU copy of just the entropy-parameter weights (the big
         # g_a/g_s/h_a trees stay device-only)
         sub = {

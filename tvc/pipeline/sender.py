@@ -265,3 +265,132 @@ def rate_sweep(
                       f"({int(np.sum(d_list))} transmitted, {gop.n_updates} updates, "
                       f"{gop.wall_time:.1f}s)")
     return points
+
+
+class DeviceGOPRunner:
+    """Device-resident host GOP loop: the middle ground between `run_gop`
+    (all-numpy state, several host round-trips per cycle) and the fully
+    fused `FusedGOPSender` (one program, but simulation-codec bits only).
+
+    Per predict cycle exactly ONE value crosses to the host: the 5 metric
+    scores (floats). Sampling, conditioning assembly, and scoring compile
+    into a single program; predicted frames stay on the device and feed the
+    next cycle's conditioning directly. Keyframes still go through the real
+    host rANS codec (exact transmissible streams), with their reconstruction
+    re-uploaded asynchronously. On a tunneled backend this removes ~2 large
+    transfers + 1 program call per cycle; on a local host it removes the
+    same dispatch+copy overheads at smaller scale.
+
+    The PRNG key-split order mirrors `run_gop` exactly, so the same key
+    walks the same trajectory (modulo ulp differences between the fused
+    score program and the standalone LPIPS jit)."""
+
+    def __init__(self, cfg: Config, predictor: FramePredictor,
+                 lpips: Optional[LPIPSMetric] = None, use_psnr: bool = False,
+                 num_frames_total: int = 30):
+        self.cfg = cfg
+        self.predictor = predictor
+        self.lpips = lpips
+        self.use_psnr = use_psnr
+        self.T = num_frames_total
+        nc = cfg.data.num_frames_cond
+        n_pred = cfg.data.num_frames
+        sample_fn = predictor.sample_fn
+        lp_model = lpips.model if lpips is not None else None
+        dtype = predictor.dtype
+
+        def cycle(variables, lp, key, cond2, gt_padded, count):
+            """cond2: (1,nc,H,W,C); gt_padded: (1,T+n_pred,H,W,C); count:
+            scalar index of the first frame to predict."""
+            _, nc_, h, w, c = cond2.shape
+            cond = jnp.transpose(cond2, (0, 2, 3, 1, 4)).reshape(1, h, w, nc_ * c)
+            from tvc.pipeline.transforms import data_transform, inverse_data_transform
+
+            cond = data_transform(cfg, cond.astype(dtype))
+            knoise, ksamp = jax.random.split(key)
+            x_init = jax.random.normal(knoise, (1, h, w, c * n_pred), dtype)
+            out = sample_fn(variables, ksamp, x_init, cond)[-1]
+            out = inverse_data_transform(cfg, out.astype(jnp.float32))
+            pred = out.reshape(1, h, w, n_pred, c).transpose(0, 3, 1, 2, 4)
+            gt5 = jax.lax.dynamic_slice(
+                gt_padded, (0, count, 0, 0, 0), (1, n_pred, h, w, c))
+            if use_psnr:
+                from tvc.metrics.pixel import psnr_jax
+
+                scores = psnr_jax(pred[0], gt5[0], axis=(1, 2, 3))
+            else:
+                scores = lp_model.apply({"params": lp}, pred[0], gt5[0])
+            return pred, scores
+
+        self._cycle = jax.jit(cycle)
+
+    def run(self, coder, video_gt: np.ndarray, key: jax.Array, threshold: float,
+            patch: int = 64,
+            forced_accepts: Optional[Sequence[int]] = None) -> GOPResult:
+        """Encode one GOP; semantics of `run_gop` (exact transmissible
+        keyframes). forced_accepts overrides the metric decision per update
+        (-1 entries fall back to the metric) — deterministic worst-case
+        benchmarking."""
+        t0 = time.time()
+        cfg = self.cfg
+        T = self.T
+        nc = cfg.data.num_frames_cond
+        n_pred = cfg.data.num_frames
+        h, w = video_gt.shape[1], video_gt.shape[2]
+        exact = cfg.codec.exact_streams
+
+        # replicate-pad past T so the tail gt5 slice is static-shaped
+        gt = np.concatenate(
+            [video_gt[:T]] +
+            [np.repeat(video_gt[T - 1: T], n_pred, axis=0)], axis=0)
+        gt_dev = jnp.asarray(gt[None], jnp.float32)
+
+        dec0, bits0 = code_frames(coder, video_gt[:nc], patch, exact=exact)
+        chunk0 = jnp.asarray(dec0[None], jnp.float32)
+        chunks = [chunk0]
+        cond2 = chunk0[:, -nc:]
+        d: List[int] = [1] * nc
+        bits_list: List[int] = list(bits0)
+        count = nc
+        accepts: List[int] = []
+        lp = self.lpips.params if self.lpips is not None else {}
+
+        while count < T:
+            key, sub = jax.random.split(key)
+            pred, scores = self._cycle(
+                self.predictor.variables, lp, sub, cond2, gt_dev, jnp.int32(count))
+            s = np.asarray(scores)  # the cycle's single blocking fetch
+            valid = (count + np.arange(n_pred)) < T
+            ok = ((s >= threshold) if self.use_psnr else (s <= threshold)) & valid
+            n_acc = int(np.argmin(ok)) if not ok.all() else n_pred
+            if not ok[0]:
+                n_acc = 0
+            u = len(accepts)
+            if forced_accepts is not None and u < len(forced_accepts) \
+                    and forced_accepts[u] >= 0:
+                n_acc = min(int(forced_accepts[u]), int(valid.sum()))
+            accepts.append(n_acc)
+
+            if n_acc == 0:
+                gt2 = video_gt[count: count + nc]
+                dec, bts = code_frames(coder, gt2, patch, exact=exact)
+                bits_list.extend(bts)
+                chunk = jnp.asarray(dec[None], jnp.float32)
+                chunks.append(chunk)
+                d.extend([1] * dec.shape[0])
+                count += dec.shape[0]
+                cond2 = chunk[:, -nc:] if chunk.shape[1] >= nc else \
+                    jnp.concatenate([cond2[:, chunk.shape[1]:], chunk], axis=1)
+            else:
+                chunks.append(pred[:, :n_acc])
+                d.extend([0] * n_acc)
+                count += n_acc
+                cond2 = pred[:, n_acc - nc: n_acc] if n_acc >= nc else \
+                    jnp.concatenate([cond2[:, n_acc:], pred[:, :n_acc]], axis=1)
+
+        x_ge = np.concatenate([np.asarray(c) for c in chunks], axis=1)[:, :T]
+        bits = int(sum(bits_list))
+        return GOPResult(
+            d=np.asarray(d, np.int64)[None][:, :T], x_ge=x_ge, bits=bits,
+            bpp=bits / h / w / T, n_updates=len(accepts),
+            wall_time=time.time() - t0, accepts=accepts)
