@@ -174,3 +174,23 @@ def test_device_gop_runner_forced_accepts(tiny_pipeline):
     # init 2 + fallback 2 + gen 3 + fallback 1(clamped: 1 frame left)
     assert out.d[0].tolist() == [1, 1, 1, 1, 0, 0, 0, 1]
     assert out.accepts[:2] == [0, 3]
+
+
+def test_rate_sweep_device_runner_path(tiny_pipeline):
+    import jax as _jax
+
+    from tvc.pipeline.sender import DeviceGOPRunner, rate_sweep
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    T = 8
+    video = np.random.RandomState(5).rand(T, 64, 64, 3).astype(np.float32)
+    runner = DeviceGOPRunner(cfg, predictor, lpips=lp, num_frames_total=T)
+    points = rate_sweep(
+        cfg, video, {0: coder}, predictor, lp, fvd_metric=None,
+        qualities=(0,), thresholds=[np.inf], num_frames_total=T,
+        bpp_stop=np.inf, verbose=False, device_runner=runner,
+        key=_jax.random.PRNGKey(4))
+    assert len(points) == 1
+    p = points[0]
+    assert p.d[:2] == [1, 1] and sum(p.d) == 2  # accept-all: only init pair
+    assert p.bpp > 0 and np.isfinite(p.lpips_list).all()

@@ -71,6 +71,11 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--batched", type=int, default=0,
                     help="run all (video,q,rho) jobs as lockstep-batched GOP "
                          "chains with this batch size (0 = sequential)")
+    ap.add_argument("--device-gop", action="store_true",
+                    help="device-resident GOP loop (DeviceGOPRunner): one "
+                         "program per predict cycle with in-program scoring, "
+                         "predictions stay on device, exact transmissible "
+                         "keyframe streams. Sequential mode only")
     ap.add_argument("--fused-gop", action="store_true",
                     help="whole-GOP-on-device: each GOP (sampling, LPIPS "
                          "decisions, fallback keyframes) runs as ONE XLA "
@@ -181,7 +186,7 @@ def cmd_sweep(argv: List[str]) -> int:
             with_fvd=not args.no_fvd,
             lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
-            fused_gop=args.fused_gop,
+            fused_gop=args.fused_gop, device_gop=args.device_gop,
         )
     return 0
 

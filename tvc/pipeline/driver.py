@@ -159,24 +159,35 @@ def run_sweep(
     bench_264: Optional[str] = None,
     bench_265: Optional[str] = None,
     fused_gop: bool = False,
+    device_gop: bool = False,
 ) -> Dict[int, List[RatePoint]]:
     """Sweep videos [start_idx, end_idx]; returns per-video rate points.
 
     fused_gop=True runs every GOP as ONE device program (whole-GOP-on-device,
     tvc/pipeline/fused_gop.py): bits are the likelihood estimate
-    (entropy-estimation bpp) rather than rANS byte counts."""
+    (entropy-estimation bpp) rather than rANS byte counts.
+    device_gop=True runs GOPs through DeviceGOPRunner: exact transmissible
+    keyframe streams, device-resident predictions, one scalar fetch per
+    predict cycle."""
     os.makedirs(output_path, exist_ok=True)
     save_config(cfg, os.path.join(output_path, "config.yml"))
     lpips_metric = lpips_metric or LPIPSMetric.create()
     if with_fvd and fvd_metric is None:
         fvd_metric = FVDMetric()
     fused = None
+    device_runner = None
     if fused_gop:
         from tvc.pipeline.fused_gop import FusedGOPSender
 
         fused = FusedGOPSender(
             cfg=cfg, predictor=predictor, coder=coders[list(qualities)[0]],
             lpips=lpips_metric, num_frames_total=min(30, data.shape[1]))
+    elif device_gop:
+        from tvc.pipeline.sender import DeviceGOPRunner
+
+        device_runner = DeviceGOPRunner(
+            cfg, predictor, lpips=lpips_metric,
+            num_frames_total=min(30, data.shape[1]))
 
     results: Dict[int, List[RatePoint]] = {}
     for vid in range(start_idx, end_idx + 1):
@@ -204,7 +215,7 @@ def run_sweep(
             key=jax.random.PRNGKey(cfg.seed + vid),
             num_frames_total=min(30, video.shape[0]),
             artifact_cb=artifact_cb,
-            fused=fused,
+            fused=fused, device_runner=device_runner,
         )
         for t in writer_threads:
             t.join()

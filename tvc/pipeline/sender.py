@@ -196,6 +196,7 @@ def rate_sweep(
     artifact_cb: Optional[Callable] = None,  # (quality, threshold, x_ge) per point
     verbose: bool = True,
     fused: Optional[object] = None,  # FusedGOPSender: whole-GOP-on-device path
+    device_runner: Optional["DeviceGOPRunner"] = None,  # device-resident exact path
 ) -> List[RatePoint]:
     """(quality x threshold) sweep over one video (city_sender.py:495-607).
 
@@ -226,6 +227,9 @@ def rate_sweep(
                     bpp=float(fo["bits"]) / h / w / num_frames_total,
                     n_updates=int(fo["n_updates"]), wall_time=time.time() - t0,
                 )
+            elif device_runner is not None:
+                gop = device_runner.run(coder, video_gt, sub, float(rho),
+                                        patch=cfg.codec.patch)
             else:
                 sender = Sender(threshold=rho, cfg=cfg, predictor=predictor,
                                 lpips=lpips_metric)
