@@ -367,10 +367,106 @@ def cmd_bench(argv: List[str]) -> int:
     return 0
 
 
+def cmd_gop(argv: List[str]) -> int:
+    """End-to-end transmissible GOP protocol at the CLI level.
+
+    send:    encode one video's GOP; write a .tvcg payload file carrying
+             exactly what crosses the channel — (seed, per-update accept
+             counts, TVC1 container per keyframe coding event) — plus the
+             sender's reconstruction for verification.
+    receive: rebuild the decoded sequence from the payload alone
+             (tvc/pipeline/receiver.py); byte-identical to the sender's
+             reconstruction by the deterministic-regeneration property.
+    """
+    ap = argparse.ArgumentParser(prog="tvc gop")
+    _add_config_args(ap)
+    ap.add_argument("mode", choices=["send", "receive"])
+    ap.add_argument("--video-npy", required=True,
+                    help="(T,H,W,3) or (T,C,H,W) [0,1] frames of ONE video")
+    ap.add_argument("--payload", required=True, help=".tvcg payload file")
+    ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("--num-frames", type=int, default=30)
+    ap.add_argument("--ckpt", type=str, default=None, help="diffusion checkpoint .pt")
+    ap.add_argument("--codec-ckpt", type=str, default=None, help="ELIC .pth.tar")
+    ap.add_argument("--lpips-alex", type=str, default=None)
+    ap.add_argument("--lpips-lin", type=str, default=None)
+    ap.add_argument("--output-npy", type=str, default=None,
+                    help="write the (sender's or receiver's) reconstruction")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _load_cfg(args)
+    from tvc.models.codec.coding import ELICCoder
+    from tvc.models.codec.elic import make_elic
+    from tvc.pipeline.predictor import FramePredictor
+    from tvc.utils.convert import load_codec_checkpoint, load_diffusion_checkpoint
+
+    video = np.load(args.video_npy).astype(np.float32)
+    if video.ndim == 4 and video.shape[1] in (1, 3) and video.shape[-1] not in (1, 3):
+        video = video.transpose(0, 2, 3, 1)
+    T = min(args.num_frames, video.shape[0])
+
+    model = make_elic(cfg.codec)
+    if args.codec_ckpt:
+        cvars = load_codec_checkpoint(args.codec_ckpt)
+    else:
+        print("[tvc] WARNING: random codec weights")
+        cvars = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    coder = ELICCoder(model, cvars, entropy_backend=cfg.codec.entropy_backend)
+    if args.ckpt:
+        predictor = FramePredictor(cfg, load_diffusion_checkpoint(args.ckpt, cfg))
+    else:
+        print("[tvc] WARNING: random diffusion weights")
+        predictor = FramePredictor.create(cfg)
+
+    if args.mode == "send":
+        from tvc.metrics.lpips import LPIPSMetric
+        from tvc.pipeline.sender import Sender, run_gop
+
+        lp = LPIPSMetric.create(args.lpips_alex, args.lpips_lin)
+        sender = Sender(threshold=args.threshold, cfg=cfg, predictor=predictor,
+                        lpips=lp)
+        key = jax.random.PRNGKey(cfg.seed)
+        gop = run_gop(sender, coder, video, key, T, cfg.codec.patch,
+                      keep_streams=True)
+        payload = {
+            "seed": np.int64(cfg.seed),
+            "num_frames_total": np.int64(T),
+            "accepts": np.asarray(gop.accepts, np.int64),
+            "n_containers": np.int64(len(gop.containers)),
+        }
+        for i, c in enumerate(gop.containers):
+            payload[f"container_{i}"] = np.frombuffer(c, np.uint8)
+        np.savez(args.payload, **payload)
+        print(f"[gop send] T={T} bits={gop.bits} bpp={gop.bpp:.4f} "
+              f"d={[int(v) for v in gop.d[0]]} -> {args.payload}")
+        if args.output_npy:
+            np.save(args.output_npy, gop.x_ge[0])
+    else:
+        from tvc.pipeline.receiver import run_gop_receiver
+
+        z = np.load(args.payload if args.payload.endswith(".npz")
+                    else args.payload + ".npz")
+        containers = [z[f"container_{i}"].tobytes()
+                      for i in range(int(z["n_containers"]))]
+        x = run_gop_receiver(
+            cfg, [int(a) for a in z["accepts"]], containers, coder, predictor,
+            jax.random.PRNGKey(int(z["seed"])),
+            num_frames_total=int(z["num_frames_total"]))
+        print(f"[gop receive] reconstructed {x.shape[0]} frames from "
+              f"{args.payload}")
+        if args.output_npy:
+            np.save(args.output_npy, x)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     cmds = {"sweep": cmd_sweep, "codec": cmd_codec, "anchors": cmd_anchors,
-            "train": cmd_train, "bench": cmd_bench}
+            "train": cmd_train, "bench": cmd_bench, "gop": cmd_gop}
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in cmds:
         print(f"usage: python -m tvc.cli {{{','.join(cmds)}}} ...")
         return 0 if argv and argv[0] in ("-h", "--help") else 1
