@@ -133,8 +133,14 @@ def _stage_fns(m: ELICModel, entropy_backend: str = "cpu") -> dict:
     #   "device" — the accelerator. The production choice on a local TPU
     #            host (dispatch ~0.2 ms): the 2-core host CPU of typical
     #            cloud-TPU VMs takes ~80 ms for the 5-slice conv chain that
-    #            the TPU does in ~1 ms. Both ends must use the same backend
-    #            (same-model accelerators execute identically run-to-run).
+    #            the TPU does in ~1 ms. Transmissibility then rests on
+    #            "identically-compiled programs execute identically": both
+    #            ends must use the same backend, the SAME accelerator model,
+    #            and the SAME jax/jaxlib/libtpu versions (the executables are
+    #            compiler output — a compiler upgrade can legally change ulps
+    #            and desync streams mid-fleet). Certified cross-process in
+    #            tests/test_codec.py::test_device_backend_cross_process and
+    #            the verify skill; see docs/PERF.md "entropy_backend".
     try:
         cpu_dev = jax.devices("cpu")[0]
     except RuntimeError:  # pragma: no cover - cpu backend always exists today
@@ -363,17 +369,26 @@ class ELICCoder:
             if return_recon:
                 t_syn = time.time()
                 x_hat = fns["syn"](v, anchor_decs, nonanchor_qs)
+                t_syn_dispatch = time.time() - t_syn
+            # Drain the z-encode worker under its own timer: its straggler
+            # time belongs to z_enc, not to params or to y_dec (the phase
+            # dict is API surface mirroring Network.py:440-441 — synthesis
+            # must not absorb entropy-coding wait).
+            t_zw = time.time()
             z_strings = z_fut.result()
-        t_params = time.time() - t0
+            t_zwait = time.time() - t_zw
+        t_params = time.time() - t0 - t_zwait
 
         out = {
             "strings": [y_strings, z_strings],
             "shape": tuple(z_np.shape[1:3]),
-            "time": {"y_enc": t_enc, "z_enc": t_z, "z_dec": t_zdec, "params": t_params},
+            "time": {"y_enc": t_enc, "z_enc": t_z + t_zwait, "z_dec": t_zdec,
+                     "params": t_params},
         }
         if return_recon:
+            t_fetch = time.time()
             out["x_hat"] = np.asarray(x_hat)
-            out["time"]["y_dec"] = time.time() - t_syn
+            out["time"]["y_dec"] = t_syn_dispatch + (time.time() - t_fetch)
         return out
 
     def _compress_fused(self, x: np.ndarray, return_recon: bool) -> Dict[str, Any]:

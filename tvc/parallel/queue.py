@@ -178,14 +178,18 @@ class WorkQueue:
         except FileExistsError:
             return False
         except OSError:
-            # Filesystems without hardlinks (rare; some FUSE mounts): fall
-            # back to O_EXCL create + copy — still a single winner.
+            # Filesystems without hardlinks (rare; some FUSE mounts): reserve
+            # exclusively on a SIDECAR lock, then rename the fully-written
+            # tmp onto the done path — readers (results()/all_done/the merge
+            # winner) only ever see a complete file, unlike an O_EXCL-create
+            # + copy of the live path, which exposes a truncation window.
+            lock = f"{path}.lock"
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 return False
-            with os.fdopen(fd, "w") as out, open(tmp) as src:
-                out.write(src.read())
+            os.close(fd)
+            os.rename(tmp, path)  # atomic replace; tmp is complete+fsynced
             return True
         finally:
             try:
