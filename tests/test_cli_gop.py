@@ -25,9 +25,17 @@ def test_gop_send_receive_byte_identity(tmp_path, capsys):
     sent = str(tmp_path / "sender.npy")
     recv = str(tmp_path / "recv.npy")
 
+    # no LPIPS weights in this environment: send refuses without the
+    # explicit uncalibrated opt-in (city_sender.py:302 always loads weights)
     rc = cli_main(["gop", "send", "--video-npy", str(vp), "--payload", payload,
                    "--threshold", "0.5", "--num-frames", "8",
                    "--config-mod", *TINY_MODS, "--output-npy", sent])
+    assert rc == 2
+
+    rc = cli_main(["gop", "send", "--video-npy", str(vp), "--payload", payload,
+                   "--threshold", "0.5", "--num-frames", "8",
+                   "--config-mod", *TINY_MODS, "--output-npy", sent,
+                   "--allow-uncalibrated"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "[gop send]" in out and "bpp=" in out

@@ -1,0 +1,61 @@
+"""CLI-level sweep guardrails.
+
+- Uncalibrated metrics are a hard failure unless --allow-uncalibrated is
+  passed (VERDICT r3 item 6; the reference always loads real LPIPS weights,
+  city_sender.py:302), and the override is stamped into the run's config.yml
+  provenance block.
+- --device-gop / --fused-gop are sequential-mode only (ADVICE r3).
+"""
+
+import numpy as np
+import yaml
+
+from tvc.cli import main as cli_main
+
+TINY_MODS = [
+    "data.image_size=64", "data.num_frames=3", "data.num_frames_cond=2",
+    "model.ngf=16", "model.ch_mult=(1,2)", "model.num_res_blocks=1",
+    "model.attn_resolutions=(32,)", "model.n_head_channels=8",
+    "model.num_classes=20", "sampling.subsample=5",
+    "codec.N=32", "codec.M=48", "codec.groups=(8,8,32)",
+]
+
+
+def _tiny_dataset(tmp_path):
+    data = (np.random.RandomState(3).rand(1, 8, 3, 64, 64) * 255).astype(np.float32)
+    p = tmp_path / "data.npy"
+    np.save(p, data)
+    return str(p)
+
+
+def test_sweep_refuses_uncalibrated_metrics(tmp_path, capsys):
+    dp = _tiny_dataset(tmp_path)
+    rc = cli_main(["sweep", "--data-npy", dp, "--output-path", str(tmp_path / "out"),
+                   "--config-mod", *TINY_MODS])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "missing metric weights" in err and "--allow-uncalibrated" in err
+
+
+def test_sweep_allow_uncalibrated_stamps_provenance(tmp_path):
+    dp = _tiny_dataset(tmp_path)
+    out = tmp_path / "out"
+    rc = cli_main(["sweep", "--data-npy", dp, "--output-path", str(out),
+                   "--config-mod", *TINY_MODS, "--no-fvd",
+                   "--qualities", "0", "--thresholds", "0.5",
+                   "--allow-uncalibrated"])
+    assert rc == 0
+    cfg = yaml.safe_load(open(out / "config.yml"))
+    prov = cfg["provenance"]
+    assert prov["calibrated"] is False
+    assert prov["lpips_calibrated"] is False
+    assert prov["fvd_calibrated"] is True  # --no-fvd: not used at all
+
+
+def test_sweep_mode_exclusion_guards(tmp_path, capsys):
+    dp = _tiny_dataset(tmp_path)
+    for flag in ("--device-gop", "--fused-gop"):
+        rc = cli_main(["sweep", "--data-npy", dp, "--output-path",
+                       str(tmp_path / "out2"), flag, "--batched", "2"])
+        assert rc == 2, flag
+        assert "sequential-mode only" in capsys.readouterr().out

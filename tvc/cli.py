@@ -93,6 +93,13 @@ def cmd_sweep(argv: List[str]) -> int:
                          "--process-id partitioning; dead hosts' units are "
                          "re-claimed after --queue-stale-after seconds")
     ap.add_argument("--queue-stale-after", type=float, default=900.0)
+    ap.add_argument("--allow-uncalibrated", action="store_true",
+                    help="run even when LPIPS/FVD weights are missing. "
+                         "Without real weights the accept/reject decisions "
+                         "use random features and the resulting RD curves "
+                         "are meaningless — hence opt-in; the override is "
+                         "stamped as provenance.calibrated=false in the "
+                         "run's config.yml")
     args = ap.parse_args(argv)
 
     import jax
@@ -101,6 +108,10 @@ def cmd_sweep(argv: List[str]) -> int:
     if args.fused_gop and (args.batched or args.queue_dir):
         print("[tvc] --fused-gop is sequential-mode only and uses the device "
               "codec; drop --batched/--queue-dir")
+        return 2
+    if args.device_gop and (args.batched or args.queue_dir):
+        print("[tvc] --device-gop is sequential-mode only; drop "
+              "--batched/--queue-dir")
         return 2
 
     cfg = _load_cfg(args)
@@ -122,6 +133,37 @@ def cmd_sweep(argv: List[str]) -> int:
 
     data = load_dataset(args.data_npy)
 
+    lp = LPIPSMetric.create(args.lpips_alex, args.lpips_lin)
+    fvd = None
+    if not args.no_fvd:
+        sd = None
+        if args.i3d_ckpt:
+            import torch
+
+            sd = torch.load(args.i3d_ckpt, map_location="cpu")
+        fvd = FVDMetric(sd)
+
+    # Uncalibrated metrics are a hard failure by default: random AlexNet/I3D
+    # features make accept/reject decisions (and FVD numbers) meaningless
+    # while producing plausible-looking curves. The reference always loads
+    # real weights (city_sender.py:302).
+    calibrated = lp.calibrated and (fvd is None or fvd.calibrated)
+    if not calibrated:
+        missing = ([] if lp.calibrated else ["LPIPS (--lpips-alex/--lpips-lin)"]) + \
+                  ([] if (fvd is None or fvd.calibrated) else ["FVD I3D (--i3d-ckpt)"])
+        if not args.allow_uncalibrated:
+            print("[tvc] ERROR: missing metric weights: " + ", ".join(missing)
+                  + "; accept decisions/metrics would use random features. "
+                    "Pass --allow-uncalibrated to run anyway (stamped into "
+                    "provenance).", file=sys.stderr)
+            return 2
+        print("[tvc] WARNING: running UNCALIBRATED (" + ", ".join(missing)
+              + "); RD outputs are not meaningful")
+    provenance = {"calibrated": calibrated,
+                  "lpips_calibrated": lp.calibrated,
+                  "fvd_calibrated": (fvd is None or fvd.calibrated)}
+
+
     # codec coders per quality
     model = make_elic(cfg.codec)
     coders: Dict[int, ELICCoder] = {}
@@ -141,20 +183,6 @@ def cmd_sweep(argv: List[str]) -> int:
         print("[tvc] WARNING: random diffusion weights (no --ckpt)")
         predictor = FramePredictor.create(cfg)
 
-    lp = LPIPSMetric.create(args.lpips_alex, args.lpips_lin)
-    if not lp.calibrated:
-        print("[tvc] WARNING: LPIPS running uncalibrated (no backbone weights)")
-    fvd = None
-    if not args.no_fvd:
-        sd = None
-        if args.i3d_ckpt:
-            import torch
-
-            sd = torch.load(args.i3d_ckpt, map_location="cpu")
-        fvd = FVDMetric(sd)
-        if not fvd.calibrated:
-            print("[tvc] WARNING: FVD running uncalibrated (no I3D weights)")
-
     if args.queue_dir:
         from tvc.pipeline.driver import run_sweep_queued
 
@@ -164,7 +192,7 @@ def cmd_sweep(argv: List[str]) -> int:
             qualities=args.qualities, thresholds=args.thresholds,
             with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
-            stale_after=args.queue_stale_after,
+            stale_after=args.queue_stale_after, provenance=provenance,
         )
         print(f"[queue] this process completed {n} work units")
     elif args.batched > 0:
@@ -177,6 +205,7 @@ def cmd_sweep(argv: List[str]) -> int:
             batch_size=args.batched,
             with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
             num_processes=args.num_processes, process_id=args.process_id,
+            provenance=provenance,
         )
     else:
         run_sweep(
@@ -187,6 +216,7 @@ def cmd_sweep(argv: List[str]) -> int:
             lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
             fused_gop=args.fused_gop, device_gop=args.device_gop,
+            provenance=provenance,
         )
     return 0
 
@@ -359,6 +389,49 @@ def cmd_train(argv: List[str]) -> int:
     return 0
 
 
+def cmd_validate(argv: List[str]) -> int:
+    """Single-command real-artifact validation harness (VERDICT r3 item 1).
+
+    Converts every supplied reference artifact and verifies it against the
+    strongest oracle available (the reference's own torch modules under
+    --reference, golden known-answer values, byte-identity round trips);
+    prints a per-artifact pass/fail/skip report and exits nonzero on any
+    failure. Run it the moment real artifacts land:
+
+      tvc validate --ckpt checkpoint_900000.pt \
+          --codec-ckpts 0.pth.tar ... 5.pth.tar \
+          --i3d i3d_pretrained_400.pt \
+          --lpips-alex alexnet.pth --lpips-lin weights/v0.1/alex.pth \
+          --data city_bonn.npy --report validate.json
+    """
+    ap = argparse.ArgumentParser(prog="tvc validate", description=cmd_validate.__doc__)
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="diffusion checkpoint_900000.pt (list layout: [0]=sd, [-1]=EMA)")
+    ap.add_argument("--codec-ckpts", nargs="*", default=None,
+                    help="ELIC checkpoints q0..q5 (.pth.tar)")
+    ap.add_argument("--i3d", type=str, default=None, help="I3D weights (.pt state dict)")
+    ap.add_argument("--lpips-alex", type=str, default=None,
+                    help="torchvision alexnet state dict")
+    ap.add_argument("--lpips-lin", type=str, default=None,
+                    help="LPIPS linear heads (reference weights/v0.1/alex.pth)")
+    ap.add_argument("--data", type=str, default=None, help="city_bonn.npy")
+    ap.add_argument("--reference", type=str, default="/root/reference",
+                    help="reference repo for torch-module parity oracles")
+    ap.add_argument("--no-bf16", action="store_true", help="skip the bf16 drift check")
+    ap.add_argument("--no-rd", action="store_true", help="skip the real GOP RD point")
+    ap.add_argument("--report", type=str, default=None, help="JSON report path")
+    args = ap.parse_args(argv)
+
+    from tvc.utils.validate import report, run_validation
+
+    results = run_validation(
+        ckpt=args.ckpt, codec_ckpts=args.codec_ckpts, i3d=args.i3d,
+        lpips_alex=args.lpips_alex, lpips_lin=args.lpips_lin,
+        data_npy=args.data, reference=args.reference,
+        with_bf16=not args.no_bf16, with_rd=not args.no_rd)
+    return report(results, args.report)
+
+
 def cmd_bench(argv: List[str]) -> int:
     sys.argv = ["bench.py"] + argv
     import bench  # repo-root bench driver
@@ -372,8 +445,9 @@ def cmd_gop(argv: List[str]) -> int:
 
     send:    encode one video's GOP; write a .tvcg payload file carrying
              exactly what crosses the channel — (seed, per-update accept
-             counts, TVC1 container per keyframe coding event) — plus the
-             sender's reconstruction for verification.
+             counts, TVC1 container per keyframe coding event). The sender's
+             reconstruction is written separately via --output-npy for
+             verification against the receiver's.
     receive: rebuild the decoded sequence from the payload alone
              (tvc/pipeline/receiver.py); byte-identical to the sender's
              reconstruction by the deterministic-regeneration property.
@@ -392,6 +466,10 @@ def cmd_gop(argv: List[str]) -> int:
     ap.add_argument("--lpips-lin", type=str, default=None)
     ap.add_argument("--output-npy", type=str, default=None,
                     help="write the (sender's or receiver's) reconstruction")
+    ap.add_argument("--allow-uncalibrated", action="store_true",
+                    help="send mode: allow accept decisions with random LPIPS "
+                         "features (no --lpips-alex/--lpips-lin); stamped "
+                         "calibrated=0 into the payload")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -427,6 +505,11 @@ def cmd_gop(argv: List[str]) -> int:
         from tvc.pipeline.sender import Sender, run_gop
 
         lp = LPIPSMetric.create(args.lpips_alex, args.lpips_lin)
+        if not lp.calibrated and not args.allow_uncalibrated:
+            print("[tvc] ERROR: LPIPS weights missing; accept decisions would "
+                  "use random features. Pass --lpips-alex/--lpips-lin or "
+                  "--allow-uncalibrated.", file=sys.stderr)
+            return 2
         sender = Sender(threshold=args.threshold, cfg=cfg, predictor=predictor,
                         lpips=lp)
         key = jax.random.PRNGKey(cfg.seed)
@@ -437,6 +520,7 @@ def cmd_gop(argv: List[str]) -> int:
             "num_frames_total": np.int64(T),
             "accepts": np.asarray(gop.accepts, np.int64),
             "n_containers": np.int64(len(gop.containers)),
+            "calibrated": np.int64(int(lp.calibrated)),
         }
         for i, c in enumerate(gop.containers):
             payload[f"container_{i}"] = np.frombuffer(c, np.uint8)
@@ -466,7 +550,8 @@ def cmd_gop(argv: List[str]) -> int:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     cmds = {"sweep": cmd_sweep, "codec": cmd_codec, "anchors": cmd_anchors,
-            "train": cmd_train, "bench": cmd_bench, "gop": cmd_gop}
+            "train": cmd_train, "bench": cmd_bench, "gop": cmd_gop,
+            "validate": cmd_validate}
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in cmds:
         print(f"usage: python -m tvc.cli {{{','.join(cmds)}}} ...")
         return 0 if argv and argv[0] in ("-h", "--help") else 1

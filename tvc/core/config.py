@@ -61,6 +61,10 @@ class ModelConfig:
     attn_resolutions: Tuple[int, ...] = (8, 16, 32)
     n_head_channels: int = 192
     conditional: bool = True
+    # 'positional' (the reference hardcodes this, ncsnpp_more.py:66) or
+    # 'fourier' (GaussianFourierProjection over log noise levels — present
+    # in the reference code but unreachable from its configs)
+    embedding_type: str = "positional"
     noise_in_cond: bool = False
     output_all_frames: bool = False
     cond_emb: bool = False
@@ -94,6 +98,14 @@ class SamplingConfig:
     init_prev_t: float = -1.0
     one_frame_at_a_time: bool = False
     preds_per_test: int = 1
+    # Mixed-precision sampling hedge (docs/BF16.md): "f32:K" runs the first
+    # K (highest-t) sampler steps through an f32 UNet and the remainder in
+    # the predictor's compute dtype (bf16 on the throughput path). The
+    # high-t steps are where eps-hat rounding is amplified by 1/sqrt(alpha_t)
+    # in the x0 estimate (reference models/__init__.py:289-292), so spending
+    # f32 there buys most of the fidelity at a fraction of the cost.
+    # "" = uniform compute dtype (default).
+    precision_schedule: str = ""
 
 
 @dataclass
@@ -269,6 +281,14 @@ def config_to_dict(cfg: Config) -> dict:
     return dataclasses.asdict(cfg)
 
 
-def save_config(cfg: Config, path: str) -> None:
+def save_config(cfg: Config, path: str, extra: Optional[dict] = None) -> None:
+    """Dump the run config for provenance (city_sender.py:201-205).
+
+    `extra` merges additional top-level provenance keys into the YAML —
+    e.g. ``{"provenance": {"calibrated": False, ...}}`` when a sweep was
+    forced to run with uncalibrated metric weights (--allow-uncalibrated)."""
+    d = config_to_dict(cfg)
+    if extra:
+        d.update(extra)
     with open(path, "w") as f:
-        yaml.safe_dump(config_to_dict(cfg), f, default_flow_style=False)
+        yaml.safe_dump(d, f, default_flow_style=False)

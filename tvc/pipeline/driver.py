@@ -77,14 +77,17 @@ def run_sweep_batched(
     bpp_stop: float = 1.0,
     num_processes: int = 1,
     process_id: int = 0,
+    provenance: Optional[dict] = None,
 ) -> Dict[int, list]:
     """Throughput-oriented sweep: every (video, quality, threshold) job runs
-    as a lockstep-batched GOP chain (tvc/pipeline/batched.py); the job list is
-    statically sharded across processes for multi-host runs.
-
-    Note: the reference walks thresholds sequentially and early-stops a walk
-    at bpp >= 1.0 (city_sender.py:561); batched mode runs all points and
-    filters afterwards — same retained points, more parallelism."""
+    as a lockstep-batched GOP chain (tvc/pipeline/batched.py), organized as
+    threshold-DESCENDING walks per (video, quality) with the reference's
+    early-stop economy (city_sender.py:561: a walk retires the moment a point
+    hits bpp >= 1.0 — lower thresholds only transmit more). Freed batch slots
+    backfill from other walks, so the chip stays busy without encoding rate
+    points destined for the bin. The WALK list (not the job list) is
+    statically sharded across processes for multi-host runs — a walk's serial
+    dependency must live on one process."""
     import dataclasses as _dc
 
     from tvc.metrics.rd import process_data_and_save
@@ -94,27 +97,41 @@ def run_sweep_batched(
 
     if thresholds is None:
         thresholds = [round(t, 2) for t in np.arange(0.30, 0.02, -0.01)]
+    thresholds = sorted(thresholds, reverse=True)
     lpips_metric = lpips_metric or LPIPSMetric.create()
     if with_fvd and fvd_metric is None:
         fvd_metric = FVDMetric()
 
-    jobs_meta = [
-        (vid, int(q), float(rho))
+    walks_meta = [
+        (vid, int(q))
         for vid in range(start_idx, end_idx + 1)
         for q in qualities
-        for rho in thresholds
     ]
-    jobs_meta = partition_work(jobs_meta, num_processes, process_id)
+    walks_meta = partition_work(walks_meta, num_processes, process_id)
     n_frames = min(30, data.shape[1])
-    jobs = [GOPJob(video=data[vid], threshold=rho, quality=q, num_frames_total=n_frames)
-            for vid, q, rho in jobs_meta]
+    walks = [
+        [GOPJob(video=data[vid], threshold=float(rho), quality=q,
+                num_frames_total=n_frames) for rho in thresholds]
+        for vid, q in walks_meta
+    ]
 
     runner = BatchedGOPRunner(cfg, predictor, coders, lpips=lpips_metric,
                               batch_size=batch_size)
-    results = runner.run(jobs, jax.random.PRNGKey(cfg.seed), patch=cfg.codec.patch)
+    results, stats = runner.run_walks(
+        walks, jax.random.PRNGKey(cfg.seed), patch=cfg.codec.patch,
+        bpp_stop=bpp_stop)
+    print(f"[batched] {stats['sweeps']} sampler sweeps for "
+          f"{stats['jobs_run']} rate points "
+          f"({stats['jobs_skipped']} retired early at bpp>={bpp_stop})")
 
     per_video: Dict[int, list] = {}
-    for (vid, q, rho), gop in zip(jobs_meta, results):
+    flat = [
+        ((vid, q, walks[w][j].threshold), results[w][j])
+        for w, (vid, q) in enumerate(walks_meta)
+        for j in range(len(walks[w]))
+        if results[w][j] is not None
+    ]
+    for (vid, q, rho), gop in flat:
         if gop.bpp >= bpp_stop:
             continue
         video_gt = data[vid]
@@ -131,6 +148,8 @@ def run_sweep_batched(
         ))
 
     os.makedirs(output_path, exist_ok=True)
+    save_config(cfg, os.path.join(output_path, "config.yml"),
+                extra={"provenance": provenance} if provenance else None)
     for vid, points in per_video.items():
         persist_rd_results(vid, points, os.path.join(output_path, f"output_{vid}"))
     return per_video
@@ -160,6 +179,7 @@ def run_sweep(
     bench_265: Optional[str] = None,
     fused_gop: bool = False,
     device_gop: bool = False,
+    provenance: Optional[dict] = None,
 ) -> Dict[int, List[RatePoint]]:
     """Sweep videos [start_idx, end_idx]; returns per-video rate points.
 
@@ -170,7 +190,8 @@ def run_sweep(
     keyframe streams, device-resident predictions, one scalar fetch per
     predict cycle."""
     os.makedirs(output_path, exist_ok=True)
-    save_config(cfg, os.path.join(output_path, "config.yml"))
+    save_config(cfg, os.path.join(output_path, "config.yml"),
+                extra={"provenance": provenance} if provenance else None)
     lpips_metric = lpips_metric or LPIPSMetric.create()
     if with_fvd and fvd_metric is None:
         fvd_metric = FVDMetric()
@@ -245,6 +266,7 @@ def run_sweep_queued(
     bench_265: Optional[str] = None,
     owner: Optional[str] = None,
     stale_after: float = 900.0,
+    provenance: Optional[dict] = None,
 ) -> int:
     """Dynamic multi-host sweep: pull (video, quality) work units from a
     shared-filesystem WorkQueue instead of static partitioning.
@@ -313,7 +335,8 @@ def run_sweep_queued(
             for p in res["points"]:
                 per_video.setdefault(res["video"], []).append(_RP(**p))
         os.makedirs(output_path, exist_ok=True)
-        save_config(cfg, os.path.join(output_path, "config.yml"))
+        save_config(cfg, os.path.join(output_path, "config.yml"),
+                    extra={"provenance": provenance} if provenance else None)
         for vid, points in sorted(per_video.items()):
             persist_rd_results(vid, points, os.path.join(output_path, f"output_{vid}"),
                                bench_264, bench_265)
