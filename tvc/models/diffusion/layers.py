@@ -75,6 +75,31 @@ def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int, max_positio
     return emb
 
 
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier feature embedding for continuous noise levels
+    (reference: models/better/layerspp.py:176-185).
+
+    ``W`` is a frozen random projection (requires_grad=False in the
+    reference); held as a Flax param so converters can load it
+    (torch key ``W`` -> param ``W``), but it should be masked out of any
+    optimizer update (the reference never trains it either — this embedding
+    type is dead code on every shipped config, ncsnpp_more.py:66 hardcodes
+    'positional')."""
+
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "W",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.embedding_size,),
+        )
+        x_proj = x[:, None] * jax.lax.stop_gradient(w)[None, :] * 2 * jnp.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
 class DDPMConv(nn.Module):
     """3x3 / 1x1 conv with DDPM `default_init` (layers.py:89-120). NHWC."""
 

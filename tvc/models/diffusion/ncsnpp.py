@@ -28,6 +28,7 @@ from tvc.core.config import Config
 from tvc.models.diffusion.layers import (
     AttnBlockpp,
     DDPMConv,
+    GaussianFourierProjection,
     GetActNorm,
     ResnetBlockBigGAN,
     default_init,
@@ -53,6 +54,9 @@ class NCSNppSpec:
     cond_emb: bool = False  # binary cond-mask embedding (ncsnpp_more.py:97-99)
     skip_rescale: bool = True
     num_classes: int = 1000
+    # 'positional' | 'fourier' (ncsnpp_more.py:66-84; fourier embeds
+    # log-noise-levels through a frozen Gaussian projection)
+    embedding_type: str = "positional"
 
     @property
     def n_frames(self) -> int:
@@ -74,6 +78,7 @@ class NCSNppSpec:
             time_conditional=cfg.model.time_conditional,
             cond_emb=cfg.model.cond_emb,
             num_classes=cfg.model.num_classes,
+            embedding_type=cfg.model.embedding_type,
         )
 
 
@@ -84,6 +89,9 @@ def _build_plan(spec: NCSNppSpec) -> List[dict]:
     num_resolutions = len(spec.ch_mult)
     all_res = [spec.image_size // (2 ** i) for i in range(num_resolutions)]
 
+    if spec.embedding_type == "fourier":
+        # all_modules[0] when present (ncsnpp_more.py:72-78); scale=16
+        plan.append({"kind": "fourier", "size": nf, "scale": 16.0})
     if spec.time_conditional:
         plan.append({"kind": "dense", "out": nf * 4})
         plan.append({"kind": "dense", "out": nf * 4})
@@ -157,6 +165,9 @@ class NCSNpp(nn.Module):
                         dropout=self.spec.dropout, dtype=self.dtype, name=name,
                     )
                 )
+            elif p["kind"] == "fourier":
+                mods.append(GaussianFourierProjection(
+                    embedding_size=p["size"], scale=p["scale"], name=name))
             elif p["kind"] == "embed":
                 mods.append(nn.Embed(p["num"], p["dim"], dtype=self.dtype, name=name))
             elif p["kind"] == "attn":
@@ -186,8 +197,14 @@ class NCSNpp(nn.Module):
             x = jnp.concatenate([x, cond], axis=-1)
         x = x.astype(self.dtype)
 
-        if spec.time_conditional:
+        if spec.embedding_type == "fourier":
+            # continuous noise levels: temb = GFP(log sigma)
+            # (ncsnpp_more.py:264-268)
+            temb = mods[m_idx](jnp.log(time_cond.astype(jnp.float32))).astype(self.dtype)
+            m_idx += 1
+        else:
             temb = get_timestep_embedding(time_cond, spec.ngf).astype(self.dtype)
+        if spec.time_conditional:
             temb = mods[m_idx](temb)
             m_idx += 1
             temb = mods[m_idx](nn.silu(temb))

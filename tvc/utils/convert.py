@@ -538,3 +538,51 @@ def load_codec_checkpoint(path: str) -> Dict[str, Any]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return convert_elic_state_dict(sd)
+
+
+# --------------------------------------------------------------------------
+# NCSNv2 refinement blocks (tvc/models/diffusion/ncsnv2_blocks.py)
+# --------------------------------------------------------------------------
+#
+# Dead code on every shipped reference config, carried for library parity
+# (reference models/better/layers.py:122-338). Key layout:
+#   CRPBlock     torch `convs.{i}.weight`        -> `convs_{i}/conv/kernel`
+#   RCUBlock     torch `{i+1}_{j+1}_conv.weight` -> `conv_{i}_{j}/conv/kernel`
+#   MSFBlock     torch `convs.{i}.{weight,bias}` -> `convs_{i}/{conv/kernel,bias}`
+#   RefineBlock  `adapt_convs.{i}.*`->`adapt_{i}/*`, `output_convs.*`->`output/*`,
+#                `msf.*`->`msf/*`, `crp.*`->`crp/*`
+
+
+def _ncsn_conv(sd, key) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"conv": {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def convert_crp_state_dict(sd: Dict[str, Any], n_stages: int, prefix: str = "") -> Dict[str, Any]:
+    return {f"convs_{i}": _ncsn_conv(sd, f"{prefix}convs.{i}") for i in range(n_stages)}
+
+
+def convert_rcu_state_dict(sd: Dict[str, Any], n_blocks: int, n_stages: int,
+                           prefix: str = "") -> Dict[str, Any]:
+    return {
+        f"conv_{i}_{j}": _ncsn_conv(sd, f"{prefix}{i + 1}_{j + 1}_conv")
+        for i in range(n_blocks) for j in range(n_stages)
+    }
+
+
+def convert_msf_state_dict(sd: Dict[str, Any], n_inputs: int, prefix: str = "") -> Dict[str, Any]:
+    return {f"convs_{i}": _ncsn_conv(sd, f"{prefix}convs.{i}") for i in range(n_inputs)}
+
+
+def convert_refine_state_dict(sd: Dict[str, Any], n_inputs: int,
+                              end: bool = False, prefix: str = "") -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    for i in range(n_inputs):
+        params[f"adapt_{i}"] = convert_rcu_state_dict(sd, 2, 2, f"{prefix}adapt_convs.{i}.")
+    params["output"] = convert_rcu_state_dict(sd, 3 if end else 1, 2, f"{prefix}output_convs.")
+    if n_inputs > 1:
+        params["msf"] = convert_msf_state_dict(sd, n_inputs, f"{prefix}msf.")
+    params["crp"] = convert_crp_state_dict(sd, 2, f"{prefix}crp.")
+    return params
