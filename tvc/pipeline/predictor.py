@@ -31,6 +31,20 @@ class FramePredictor:
         self.cfg = cfg
         self.dtype = dtype
         self.model = UNetMoreDDPM(cfg=cfg, dtype=dtype)
+        # Mixed-precision schedule "f32:K" (sampling.precision_schedule,
+        # docs/BF16.md): a second f32-compute UNet over the SAME variables
+        # handles the first K high-t steps. Requires f32 master params.
+        ps = cfg.sampling.precision_schedule
+        self.hi_steps = 0
+        if ps:
+            if not ps.startswith("f32:"):
+                raise ValueError(f"precision_schedule must be 'f32:K', got {ps!r}")
+            self.hi_steps = int(ps.split(":", 1)[1])
+            if self.hi_steps > 0:
+                assert params_dtype is None, \
+                    "precision_schedule needs f32 master params (params_dtype=None)"
+        self.model_hi = (UNetMoreDDPM(cfg=cfg, dtype=jnp.float32)
+                         if self.hi_steps > 0 and dtype != jnp.float32 else None)
         if params_dtype is not None:
             # Store the weights in the compute dtype (usually bf16). At B=1
             # the deep UNet levels are weight-streaming-bound, so keeping f32
@@ -59,6 +73,27 @@ class FramePredictor:
                 return fpndm_sampler(
                     key, x_init, eps_fn, self.schedule, samp.subsample, cond=cond,
                     clip_before=samp.clip_before,
+                )
+        elif self.model_hi is not None:
+            if self.version != "DDPM":
+                raise ValueError(
+                    f"precision_schedule is supported for DDPM (got {self.version})")
+            from tvc.samplers.ancestral import ddpm_sampler
+            model_hi = self.model_hi
+            hi_steps = self.hi_steps
+
+            def sample(variables, key, x_init, cond):
+                def eps_fn(x, labels, c):
+                    return model.apply(variables, x, labels, c)
+
+                def eps_fn_hi(x, labels, c):
+                    return model_hi.apply(variables, x, labels, c)
+
+                return ddpm_sampler(
+                    key, x_init, eps_fn, self.sub, cond=cond,
+                    denoise=samp.denoise, clip_before=samp.clip_before,
+                    gamma=cfg.model.gamma, t_min=samp.init_prev_t, final_only=True,
+                    eps_fn_hi=eps_fn_hi, hi_steps=hi_steps,
                 )
         else:
             sampler = get_sampler(self.version)
@@ -111,10 +146,13 @@ class FramePredictor:
         b = cond_frames.shape[0]
         size = cfg.data.image_size
         c = cfg.data.channels
-        cond = data_transform(cfg, cond_frames.astype(self.dtype))
+        # mixed-precision schedule keeps the carry (and noise) in f32; the
+        # per-step compute dtype is each UNet's own
+        carry_dtype = jnp.float32 if self.model_hi is not None else self.dtype
+        cond = data_transform(cfg, cond_frames.astype(carry_dtype))
         knoise, ksamp = jax.random.split(key)
         x_init = jax.random.normal(
-            knoise, (b, size, size, c * cfg.data.num_frames), self.dtype
+            knoise, (b, size, size, c * cfg.data.num_frames), carry_dtype
         )
         out = self._sample(self.variables, ksamp, x_init, cond)[-1]
         out = inverse_data_transform(cfg, out.astype(jnp.float32))

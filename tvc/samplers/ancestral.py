@@ -47,8 +47,20 @@ def ddpm_sampler(
     final_only: bool = True,
     t_min: float = -1.0,
     same_noise: bool = False,
+    eps_fn_hi: Optional[EpsFn] = None,
+    hi_steps: int = 0,
 ):
-    """Ancestral DDPM sampling (reference models/__init__.py:208-342)."""
+    """Ancestral DDPM sampling (reference models/__init__.py:208-342).
+
+    Mixed-precision schedule (``sampling.precision_schedule = "f32:K"``):
+    when ``eps_fn_hi``/``hi_steps`` are given, the first ``hi_steps``
+    (highest-t) steps run through ``eps_fn_hi`` (an f32-compute UNet) and the
+    remainder through ``eps_fn`` — two sequential scans sharing one
+    per-step-constant table and ONE key split, so ``hi_steps >= L+1`` is
+    bit-identical to an all-``eps_fn_hi`` run. The carry stays in
+    ``x_init.dtype`` (f32) across both scans; precision differs only inside
+    the UNet (each eps_fn's own compute dtype), which is where all the FLOPs
+    and all the bf16 rounding live."""
     L = len(sub)
     dtype = x_init.dtype
     if gamma:
@@ -100,54 +112,67 @@ def ddpm_sampler(
     else:
         start_mask = None
 
-    def body(carry, scan_in):
-        x, transformed = carry
-        i, k_i = scan_in
-        a = a_arr[i]
-        label = jnp.full((b,), labels_arr[i], dtype=jnp.int32)
-        gi = jnp.minimum(i, L - 1)  # gamma-noise params have no denoise row
+    def make_body(fn):
+        def body(carry, scan_in):
+            x, transformed = carry
+            i, k_i = scan_in
+            a = a_arr[i]
+            label = jnp.full((b,), labels_arr[i], dtype=jnp.int32)
+            gi = jnp.minimum(i, L - 1)  # gamma-noise params have no denoise row
 
-        if t_min > 0:
-            active = active_mask[i]
+            if t_min > 0:
+                active = active_mask[i]
 
-            def warm(x):
-                kz = jax.random.fold_in(k_i, 1)
-                if gamma:
-                    z = _gamma_noise(kz, x.shape, k_cum[gi], theta_t[gi], a, dtype)
-                else:
-                    z = jax.random.normal(kz, x.shape, dtype)
-                return jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * z
+                def warm(x):
+                    kz = jax.random.fold_in(k_i, 1)
+                    if gamma:
+                        z = _gamma_noise(kz, x.shape, k_cum[gi], theta_t[gi], a, dtype)
+                    else:
+                        z = jax.random.normal(kz, x.shape, dtype)
+                    return jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * z
 
-            x = jnp.where(warm_mask[i] & ~transformed, warm(x), x)
-            transformed = transformed | active
-        else:
-            active = jnp.asarray(True)
+                x = jnp.where(warm_mask[i] & ~transformed, warm(x), x)
+                transformed = transformed | active
+            else:
+                active = jnp.asarray(True)
 
-        eps = eps_fn(x, label, cond).astype(jnp.float32)
-        xf = x.astype(jnp.float32)
-        x0 = (xf - jnp.sqrt(1.0 - a) * eps) / jnp.sqrt(a)
-        if clip_before:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-        x_new = c0[i] * x0 + c1[i] * xf + c2[i] * eps
+            eps = fn(x, label, cond).astype(jnp.float32)
+            xf = x.astype(jnp.float32)
+            x0 = (xf - jnp.sqrt(1.0 - a) * eps) / jnp.sqrt(a)
+            if clip_before:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            x_new = c0[i] * x0 + c1[i] * xf + c2[i] * eps
 
-        # trajectory records the PRE-noise state (reference appends before
-        # adding noise, models/__init__.py:294-295 vs :317-330)
-        x_pre = jnp.where(active, x_new.astype(dtype), x)
+            # trajectory records the PRE-noise state (reference appends before
+            # adding noise, models/__init__.py:294-295 vs :317-330)
+            x_pre = jnp.where(active, x_new.astype(dtype), x)
 
-        if same_noise:
-            noise = noise_val.astype(jnp.float32)
-        elif gamma:
-            noise = _gamma_noise(k_i, x.shape, k_cum[gi], theta_t[gi], a, jnp.float32)
-        else:
-            noise = jax.random.normal(k_i, x.shape, jnp.float32)
-        x_new = x_new + sigma_arr[i] * noise
+            if same_noise:
+                noise = noise_val.astype(jnp.float32)
+            elif gamma:
+                noise = _gamma_noise(k_i, x.shape, k_cum[gi], theta_t[gi], a, jnp.float32)
+            else:
+                noise = jax.random.normal(k_i, x.shape, jnp.float32)
+            x_new = x_new + sigma_arr[i] * noise
 
-        # skip the update entirely until this step becomes active (t_min mode)
-        x_out = jnp.where(active, x_new.astype(dtype), x)
-        return (x_out, transformed), (x_pre if not final_only else None)
+            # skip the update entirely until this step becomes active (t_min mode)
+            x_out = jnp.where(active, x_new.astype(dtype), x)
+            return (x_out, transformed), (x_pre if not final_only else None)
+
+        return body
 
     init = (x_init, jnp.asarray(False))
-    (x, _), traj = jax.lax.scan(body, init, (jnp.arange(n_scan), keys[:n_scan]))
+    if eps_fn_hi is not None and hi_steps > 0:
+        assert final_only, "mixed-precision schedule is final_only"
+        hi = min(int(hi_steps), n_scan)
+        carry, _ = jax.lax.scan(
+            make_body(eps_fn_hi), init, (jnp.arange(hi), keys[:hi]))
+        if hi < n_scan:
+            carry, _ = jax.lax.scan(
+                make_body(eps_fn), carry, (jnp.arange(hi, n_scan), keys[hi:n_scan]))
+        return carry[0][None]
+
+    (x, _), traj = jax.lax.scan(make_body(eps_fn), init, (jnp.arange(n_scan), keys[:n_scan]))
 
     if final_only:
         return x[None]
