@@ -70,6 +70,48 @@ def test_run_sweep_batched_driver(tmp_path, tiny_pipeline):
     assert n0 + n1 == total_points
 
 
+def test_run_walks_early_stop_economy(tiny_pipeline):
+    """Threshold-descending walks retire at bpp >= bpp_stop (the reference's
+    early-stop, city_sender.py:561-562): doomed lower thresholds are never
+    encoded, so the walk costs measurably fewer sampler sweeps."""
+    cfg, predictor, coder, lp = tiny_pipeline
+    video = RNG.rand(10, 64, 64, 3).astype(np.float32)
+    # impossible threshold first -> all keyframes -> bpp far above a tiny stop
+    walk = [GOPJob(video=video, threshold=t, quality=4, num_frames_total=8)
+            for t in (-1.0, -2.0, -3.0)]
+    runner = BatchedGOPRunner(cfg, predictor, {4: coder}, lpips=lp, batch_size=2)
+
+    results, stats = runner.run_walks([walk], jax.random.PRNGKey(0),
+                                      bpp_stop=1e-6)
+    assert results[0][0] is not None and results[0][0].bpp >= 1e-6
+    assert results[0][1] is None and results[0][2] is None, "walk not retired"
+    assert stats["jobs_run"] == 1 and stats["jobs_skipped"] == 2
+
+    # without the stop, every threshold runs (strictly more sweeps)
+    results_all, stats_all = runner.run_walks([walk], jax.random.PRNGKey(0),
+                                              bpp_stop=None)
+    assert all(r is not None for r in results_all[0])
+    assert stats_all["sweeps"] > stats["sweeps"]
+    assert stats_all["jobs_run"] == 3
+
+
+def test_run_walks_backfills_batch_slots(tiny_pipeline):
+    """A retired walk's slot is backfilled by other walks' pending points."""
+    cfg, predictor, coder, lp = tiny_pipeline
+    videos = RNG.rand(2, 10, 64, 64, 3).astype(np.float32)
+    walks = [
+        [GOPJob(video=videos[0], threshold=t, quality=4, num_frames_total=8)
+         for t in (1e9, 0.5)],
+        [GOPJob(video=videos[1], threshold=t, quality=4, num_frames_total=8)
+         for t in (1e9, 0.5)],
+    ]
+    runner = BatchedGOPRunner(cfg, predictor, {4: coder}, lpips=lp, batch_size=2)
+    results, stats = runner.run_walks(walks, jax.random.PRNGKey(2), bpp_stop=10.0)
+    # loose thresholds -> low bpp -> both walks complete both points
+    done = [r for w in results for r in w if r is not None]
+    assert len(done) == 4 and stats["jobs_skipped"] == 0
+
+
 def test_batched_runner_smaller_batch_than_jobs(tiny_pipeline):
     cfg, predictor, coder, lp = tiny_pipeline
     videos = RNG.rand(3, 8, 64, 64, 3).astype(np.float32)

@@ -77,83 +77,133 @@ class BatchedGOPRunner:
 
     def run(self, jobs: Sequence[GOPJob], key: jax.Array,
             patch: int = 64) -> List[GOPResult]:
+        """Run independent jobs (no early-stop coupling): each job is its own
+        single-point walk."""
+        results, _ = self.run_walks([[j] for j in jobs], key, patch=patch,
+                                    bpp_stop=None)
+        return [w[0] for w in results]
+
+    def run_walks(self, walks: Sequence[Sequence[GOPJob]], key: jax.Array,
+                  patch: int = 64, bpp_stop: Optional[float] = 1.0):
+        """Threshold-walk scheduling with the reference's early-stop economy
+        (city_sender.py:561-562): each walk is a threshold-DESCENDING list of
+        jobs sharing (video, quality). A walk's next threshold only starts
+        after the previous one finishes, and the moment a point comes back
+        with bpp >= bpp_stop the whole walk is retired — lower thresholds
+        can only transmit more, so their points are doomed for the [0,1)
+        bpp range anyway. Freed batch slots are backfilled from the ready
+        queue, so lockstep batching keeps the chip busy without paying for
+        rate points destined for the bin.
+
+        Returns (results, stats): results[w][j] is a GOPResult, or None if
+        walk w was retired before reaching job j; stats counts sampler
+        sweeps + started/skipped jobs (the driver logs them)."""
         cfg = self.cfg
         nc = cfg.data.num_frames_cond
         n_pred = cfg.data.num_frames
-        for job in jobs:
-            assert job.video.shape[0] >= job.num_frames_total, (
-                "video shorter than num_frames_total: chain cannot terminate"
-            )
+        for walk in walks:
+            for job in walk:
+                assert job.video.shape[0] >= job.num_frames_total, (
+                    "video shorter than num_frames_total: chain cannot terminate"
+                )
         t0 = time.time()
-
-        # initial keyframes, batched per quality across jobs
-        states: List[_ChainState] = []
-        by_q: Dict[int, List[int]] = {}
-        for i, job in enumerate(jobs):
-            by_q.setdefault(job.quality, []).append(i)
-        init_dec: Dict[int, np.ndarray] = {}
-        init_bits: Dict[int, List[int]] = {}
-        for q, idxs in by_q.items():
-            frames = np.concatenate([jobs[i].video[:nc] for i in idxs], axis=0)
-            dec, bits = code_frames(self.coders[q], frames, patch,
-                                    exact=cfg.codec.exact_streams)
-            for slot, i in enumerate(idxs):
-                init_dec[i] = dec[slot * nc : (slot + 1) * nc]
-                init_bits[i] = bits[slot * nc : (slot + 1) * nc]
-        for i, job in enumerate(jobs):
-            states.append(_ChainState(job=job, x_ge=init_dec[i], d=[1] * nc,
-                                      bits=sum(init_bits[i])))
-
         B = self.batch_size
         size = cfg.data.image_size
         c = cfg.data.channels
 
-        while any(not s.done for s in states):
-            active = [i for i, s in enumerate(states) if not s.done][:B]
+        results: List[List[Optional[GOPResult]]] = [[None] * len(w) for w in walks]
+        ready: List[tuple] = [(w, 0) for w in range(len(walks)) if walks[w]]
+        active: List[tuple] = []  # (w, j, _ChainState)
+        sweeps = started = skipped = 0
+
+        def finish(w: int, j: int, st: _ChainState):
+            nonlocal skipped
+            n = st.job.num_frames_total
+            h, wd = st.job.video.shape[1:3]
+            bpp = st.bits / h / wd / n
+            results[w][j] = GOPResult(
+                d=np.asarray(st.d[:n])[None], x_ge=st.x_ge[:n][None],
+                bits=st.bits, bpp=bpp, n_updates=st.n_updates,
+                wall_time=time.time() - t0,
+            )
+            if bpp_stop is not None and bpp >= bpp_stop:
+                skipped += len(walks[w]) - (j + 1)  # retire the walk
+            elif j + 1 < len(walks[w]):
+                ready.append((w, j + 1))
+
+        while ready or active:
+            # backfill free slots; batch the new chains' initial keyframes
+            starts: List[tuple] = []
+            while len(active) + len(starts) < B and ready:
+                starts.append(ready.pop(0))
+            if starts:
+                started += len(starts)
+                by_q: Dict[int, List[int]] = {}
+                for k, (w, j) in enumerate(starts):
+                    by_q.setdefault(walks[w][j].quality, []).append(k)
+                for q, ks in by_q.items():
+                    frames = np.concatenate(
+                        [walks[starts[k][0]][starts[k][1]].video[:nc] for k in ks], axis=0)
+                    dec, bits = code_frames(self.coders[q], frames, patch,
+                                            exact=cfg.codec.exact_streams)
+                    for slot, k in enumerate(ks):
+                        w, j = starts[k]
+                        st = _ChainState(
+                            job=walks[w][j], x_ge=dec[slot * nc: (slot + 1) * nc],
+                            d=[1] * nc, bits=sum(bits[slot * nc: (slot + 1) * nc]))
+                        if st.x_ge.shape[0] >= st.job.num_frames_total:
+                            finish(w, j, st)
+                        else:
+                            active.append((w, j, st))
+            if not active:
+                continue  # all fresh starts finished on keyframes alone
+
             # one batched prediction for all active chains (pad to B)
             conds = np.zeros((B, size, size, c * nc), np.float32)
-            for slot, i in enumerate(active):
-                conds[slot] = stack_frames(states[i].x_ge[None, -nc:])[0]
+            for slot, (_, _, st) in enumerate(active):
+                conds[slot] = stack_frames(st.x_ge[None, -nc:])[0]
             key, sub = jax.random.split(key)
             preds = np.asarray(self.predictor.generate(sub, jnp.asarray(conds)))
+            sweeps += 1
 
             fallback: Dict[int, List[int]] = {}
-            for slot, i in enumerate(active):
-                st = states[i]
+            for slot, (w, j, st) in enumerate(active):
                 idx = st.x_ge.shape[0]
-                gt = st.job.video[idx : idx + n_pred]
+                gt = st.job.video[idx: idx + n_pred]
                 acc = self._decide(st, preds[slot, : gt.shape[0]], gt)
                 st.n_updates += 1
                 if acc.shape[0] > 0:
                     st.x_ge = np.concatenate([st.x_ge, acc], axis=0)
                     st.d.extend([0] * acc.shape[0])
                 else:
-                    fallback.setdefault(st.job.quality, []).append(i)
+                    fallback.setdefault(st.job.quality, []).append(slot)
                 if st.x_ge.shape[0] >= st.job.num_frames_total:
                     st.done = True
 
             # batched fallback keyframe coding per quality
-            for q, idxs in fallback.items():
+            for q, slots in fallback.items():
                 frames = np.concatenate(
-                    [states[i].job.video[states[i].x_ge.shape[0] : states[i].x_ge.shape[0] + nc]
-                     for i in idxs], axis=0)
+                    [active[s][2].job.video[
+                        active[s][2].x_ge.shape[0]: active[s][2].x_ge.shape[0] + nc]
+                     for s in slots], axis=0)
                 dec, bits = code_frames(self.coders[q], frames, patch,
-                                    exact=cfg.codec.exact_streams)
-                for slot, i in enumerate(idxs):
-                    st = states[i]
-                    st.x_ge = np.concatenate([st.x_ge, dec[slot * nc : (slot + 1) * nc]], axis=0)
+                                        exact=cfg.codec.exact_streams)
+                for k, s in enumerate(slots):
+                    st = active[s][2]
+                    st.x_ge = np.concatenate(
+                        [st.x_ge, dec[k * nc: (k + 1) * nc]], axis=0)
                     st.d.extend([1] * nc)
-                    st.bits += sum(bits[slot * nc : (slot + 1) * nc])
+                    st.bits += sum(bits[k * nc: (k + 1) * nc])
                     if st.x_ge.shape[0] >= st.job.num_frames_total:
                         st.done = True
 
-        wall = time.time() - t0
-        out = []
-        for st in states:
-            n = st.job.num_frames_total
-            h, w = st.job.video.shape[1:3]
-            out.append(GOPResult(
-                d=np.asarray(st.d[:n])[None], x_ge=st.x_ge[:n][None], bits=st.bits,
-                bpp=st.bits / h / w / n, n_updates=st.n_updates, wall_time=wall,
-            ))
-        return out
+            still = []
+            for (w, j, st) in active:
+                if st.done:
+                    finish(w, j, st)
+                else:
+                    still.append((w, j, st))
+            active = still
+
+        stats = {"sweeps": sweeps, "jobs_run": started, "jobs_skipped": skipped}
+        return results, stats
