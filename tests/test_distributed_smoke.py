@@ -51,6 +51,68 @@ WORKER = textwrap.dedent("""
 """)
 
 
+SERVE_WORKER = textwrap.dedent("""
+    import json, sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    pid = int(sys.argv[1]); coord = sys.argv[2]
+    from tvc.parallel.mesh import initialize_distributed
+    initialize_distributed(coordinator=coord, num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and jax.local_device_count() == 1
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental import multihost_utils
+    from tvc.core.config import Config
+    from tvc.metrics.lpips import LPIPSMetric
+    from tvc.models.codec.coding import ELICCoder
+    from tvc.models.codec.elic import ELICModel
+    from tvc.pipeline.fused_gop import FusedGOPSender
+    from tvc.pipeline.predictor import FramePredictor
+
+    T = 8
+    cfg = Config()
+    cfg.data.image_size = 64; cfg.data.num_frames = 3; cfg.data.num_frames_cond = 2
+    cfg.model.ngf = 16; cfg.model.ch_mult = (1, 2); cfg.model.num_res_blocks = 1
+    cfg.model.attn_resolutions = (32,); cfg.model.n_head_channels = 8
+    cfg.model.num_classes = 20; cfg.sampling.subsample = 5; cfg.codec.patch = 64
+
+    # deterministic weights: same seeds on both processes (and in the parent)
+    predictor = FramePredictor.create(cfg, jax.random.PRNGKey(0))
+    model = ELICModel(N=32, M=48, groups=(8, 8, 32))
+    cvars = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    coder = ELICCoder(model, cvars)
+    lp = LPIPSMetric.create()
+    sender = FusedGOPSender(cfg=cfg, predictor=predictor, coder=coder,
+                            lpips=lp, num_frames_total=T)
+
+    # the global 2-chain serving batch; each process owns chain `pid`
+    videos = np.random.RandomState(3).rand(2, T, 64, 64, 3).astype(np.float32)
+    keys = np.asarray(jnp.stack([jax.random.PRNGKey(100), jax.random.PRNGKey(101)]))
+    thresholds = np.asarray([np.inf, -np.inf], np.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    with mesh:
+        out = sender.run_sharded(mesh, videos[pid:pid + 1], keys[pid:pid + 1],
+                                 thresholds[pid:pid + 1])
+    # fetch this process's local chunk of each global output: read the
+    # addressable shard directly (communication-free — a cross-process
+    # reshard here would ride a Gloo collective and can time out under
+    # compile skew)
+    local = {k: np.asarray(v.addressable_shards[0].data)
+             for k, v in out.items()}
+    print(json.dumps({
+        "pid": pid,
+        "d": local["d"][0].tolist(),
+        "bits": float(local["bits"][0]),
+        "x_mean": float(local["x_ge"][0].mean()),
+        "x_sum_abs": float(np.abs(local["x_ge"][0]).sum()),
+    }))
+""")
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -94,3 +156,87 @@ def test_two_process_distributed_bringup_and_queue_merge(tmp_path):
     wq = WorkQueue(qdir)
     assert set(wq.results()) == {"u0", "u1"}  # results() lists real jobs only
     assert os.path.exists(os.path.join(qdir, "done", "__merged__.json"))
+
+
+@pytest.mark.slow
+def test_two_process_sharded_serving_path(tmp_path):
+    """The SERVING path across two real jax.distributed processes (VERDICT r3
+    item 9): FusedGOPSender.run_sharded over a mesh spanning both processes'
+    devices, each process feeding its local chain shard; results must match
+    the single-process batched run chain-for-chain."""
+    import numpy as np
+
+    worker_py = tmp_path / "serve_worker.py"
+    worker_py.write_text(SERVE_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # 1 CPU device per worker process
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(i), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=REPO,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"serve worker failed:\n{out[-3000:]}\n{err[-3000:]}"
+        rec = json.loads(out.strip().splitlines()[-1])
+        outs[rec["pid"]] = rec
+
+    # ---- single-process reference with identical weights/keys ----
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.core.config import Config
+    from tvc.metrics.lpips import LPIPSMetric
+    from tvc.models.codec.coding import ELICCoder
+    from tvc.models.codec.elic import ELICModel
+    from tvc.pipeline.fused_gop import FusedGOPSender
+    from tvc.pipeline.predictor import FramePredictor
+
+    T = 8
+    cfg = Config()
+    cfg.data.image_size = 64
+    cfg.data.num_frames = 3
+    cfg.data.num_frames_cond = 2
+    cfg.model.ngf = 16
+    cfg.model.ch_mult = (1, 2)
+    cfg.model.num_res_blocks = 1
+    cfg.model.attn_resolutions = (32,)
+    cfg.model.n_head_channels = 8
+    cfg.model.num_classes = 20
+    cfg.sampling.subsample = 5
+    cfg.codec.patch = 64
+    predictor = FramePredictor.create(cfg, jax.random.PRNGKey(0))
+    model = ELICModel(N=32, M=48, groups=(8, 8, 32))
+    cvars = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    coder = ELICCoder(model, cvars)
+    sender = FusedGOPSender(cfg=cfg, predictor=predictor, coder=coder,
+                            lpips=LPIPSMetric.create(), num_frames_total=T)
+    videos = np.random.RandomState(3).rand(2, T, 64, 64, 3).astype(np.float32)
+    keys = jnp.stack([jax.random.PRNGKey(100), jax.random.PRNGKey(101)])
+    thresholds = np.asarray([np.inf, -np.inf], np.float32)
+    ref = sender.run_batched(videos, keys, thresholds)
+    ref_d = np.asarray(ref["d"])
+    ref_bits = np.asarray(ref["bits"])
+    ref_x = np.asarray(ref["x_ge"])
+
+    # chain semantics: inf threshold accepts everything after the keyframes,
+    # -inf transmits every frame
+    assert ref_d[0].tolist() == [1, 1] + [0] * (T - 2)
+    assert ref_d[1].tolist() == [1] * T
+
+    for pid in (0, 1):
+        rec = outs[pid]
+        assert rec["d"] == ref_d[pid].tolist(), f"chain {pid} decision vector"
+        np.testing.assert_allclose(rec["bits"], ref_bits[pid], rtol=1e-5)
+        np.testing.assert_allclose(rec["x_mean"], ref_x[pid].mean(), atol=1e-4)
+        np.testing.assert_allclose(
+            rec["x_sum_abs"], np.abs(ref_x[pid]).sum(),
+            rtol=1e-4)

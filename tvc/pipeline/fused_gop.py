@@ -242,8 +242,16 @@ class FusedGOPSender:
                     thresholds: np.ndarray) -> Dict[str, Any]:
         """Mesh-sharded whole-GOP encode: the chain batch is sharded over the
         mesh's `data` axis (params replicated), so N chips each run whole GOPs
-        on device in lockstep — the multi-chip serving path. B must be a
-        multiple of the data-axis size."""
+        on device in lockstep — the multi-chip serving path.
+
+        Single-process: `videos`/`keys`/`thresholds` are the GLOBAL batch
+        (B divisible by the data-axis size). Multi-process (`jax.distributed`
+        initialized, mesh spanning all processes' devices): each process
+        passes its LOCAL shard of the batch — the host-local chunks are
+        assembled into global arrays along the data axis
+        (multihost_utils.host_local_array_to_global_array), and the returned
+        arrays are global; use `jax.experimental.multihost_utils.
+        process_allgather` (or read addressable shards) to fetch."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         key = ("sharded", id(mesh))
@@ -257,10 +265,21 @@ class FusedGOPSender:
             )
         B = videos.shape[0]
         dp = mesh.shape["data"]
-        assert B % dp == 0, f"batch {B} not divisible by data axis {dp}"
         forced = jnp.full((B, self._max_updates), -1, jnp.int32)
         v = jnp.stack([self._prep_video(videos[i]) for i in range(B)])
+        thr = jnp.asarray(thresholds, jnp.float32)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            assert (B * jax.process_count()) % dp == 0, (
+                f"global batch {B * jax.process_count()} not divisible by "
+                f"data axis {dp}")
+            v, keys, thr, forced = multihost_utils.host_local_array_to_global_array(
+                (np.asarray(v), np.asarray(keys), np.asarray(thr),
+                 np.asarray(forced)), mesh, P("data"))
+        else:
+            assert B % dp == 0, f"batch {B} not divisible by data axis {dp}"
         return self._sharded_cache[key](
             self.predictor.variables, self.coder.variables,
             self.lpips.params if self.lpips is not None else {},
-            v, keys, jnp.asarray(thresholds, jnp.float32), forced)
+            v, keys, thr, forced)
