@@ -105,18 +105,14 @@ def test_fvd_plumbing():
 )
 def test_fvd_golden_zeros_vs_ones():
     """Known-answer FVD: all-zeros vs all-ones 30-frame clips = 151.17
-    (fvd_utils/README.md; SURVEY.md §4). Only runs with converted weights."""
+    (fvd_utils/README.md; SURVEY.md §4). Only runs with converted weights —
+    wired to the same check `tvc validate` runs (tvc/utils/validate.py)."""
     import os
 
-    import torch
+    from tvc.utils.validate import check_i3d
 
-    sd = torch.load(os.environ["TVC_I3D_CKPT"], map_location="cpu")
-    m = FVDMetric(sd)
-    assert m.calibrated
-    v0 = np.zeros((8, 30, 64, 64, 3), np.float32)
-    v1 = np.ones((8, 30, 64, 64, 3), np.float32)
-    fvd = m(v0, v1)
-    assert abs(fvd - 151.17) < 5.0, fvd
+    r = check_i3d(os.environ["TVC_I3D_CKPT"])
+    assert r["status"] == "pass", r["detail"]
 
 
 def test_rd_envelopes():
