@@ -1,10 +1,17 @@
 #!/usr/bin/env python
 """tvc benchmark driver: prints ONE JSON line for the scoring harness.
 
-Metric: frames/s/chip for the worst-case 30-frame GOP encode+decode at
-128x128 (5 diffusion cycles of the 262M UNet at 100 DDPM steps + 3 keyframe
-pairs through the real ELIC bitstream). Baseline: the reference's published
-~0.125 frames/s worst case on a V100-class GPU (BASELINE.md).
+Metric (round 4+): frames/s/chip of the device-resident REAL worst-case
+30-frame GOP at 128x128 — the measured end-to-end wall of the transmissible
+path (7 serially-dependent 100-step sampler sweeps of the 262M UNet + 3
+exact rANS keyframe pairs; trajectory [5,0,5,0,5,5,5], receiver-decodable
+streams). This is what a real encode actually costs; the old 5-cycle+3-pair
+arithmetic model is still reported as `fps_gop_model` in the info line.
+Baseline: the reference's published ~0.125 frames/s worst case on a
+V100-class GPU (BASELINE.md; its "<=5 generation cycles" worst case counts
+no rejected sweeps, so this headline does strictly MORE work per GOP).
+Falls back to the model metric when the device-GOP section is skipped
+(--no-fused-gop / --no-codec).
 """
 
 import argparse
@@ -26,6 +33,11 @@ def main():
                          "this GOP-chain batch (0 = skip)")
     ap.add_argument("--no-fused-gop", action="store_true",
                     help="skip the whole-GOP-on-device program measurement")
+    ap.add_argument("--precision-schedule", type=str, default="",
+                    help="sampling.precision_schedule for the measured "
+                         "sampler, e.g. f32:10 (mixed-precision hedge; "
+                         "docs/BF16.md). Off by default: adds a second "
+                         "UNet instance to the program (longer compile)")
     ap.add_argument("--profile-dir", type=str, default=None,
                     help="capture a jax.profiler trace of the steady-state "
                          "timing section into this directory")
@@ -63,6 +75,7 @@ def main():
             batch=args.batch,
             throughput_batch=args.throughput_batch,
             fused_gop=not args.no_fused_gop,
+            precision_schedule=args.precision_schedule,
         )
     wall = time.time() - t0
 
@@ -76,6 +89,7 @@ def main():
         "t_keyframe_pair_s": round(res.t_keyframe_pair, 3),
         "t_keyframe_pair_fused_s": round(res.t_keyframe_pair_fused, 3),
         "codec_path": "exact (transmissible bitstream, host rANS)",
+        "precision_schedule": args.precision_schedule or "uniform",
         "compile_s": round(res.compile_time, 1),
         "bench_wall_s": round(wall, 1),
     }
@@ -97,12 +111,20 @@ def main():
             "t_keyframes_batched_s": round(res.t_keyframes_batched, 3),
             "fps_throughput_batched": round(res.fps_throughput, 3),
         })
+    info["fps_gop_model"] = round(res.fps_gop, 4)  # old 5-cycle+3-pair model
     print(json.dumps(info), file=sys.stderr)
+    if res.fps_device_gop:
+        metric = ("frames/s/chip (device-resident REAL worst-case 30-frame "
+                  "GOP, exact transmissible streams, 128x128)")
+        value = res.fps_device_gop
+    else:
+        metric = "frames/s/chip (worst-case 30-frame GOP encode+decode, 128x128)"
+        value = res.fps_gop
     print(json.dumps({
-        "metric": "frames/s/chip (worst-case 30-frame GOP encode+decode, 128x128)",
-        "value": round(res.fps_gop, 4),
+        "metric": metric,
+        "value": round(value, 4),
         "unit": "frames/s/chip",
-        "vs_baseline": round(res.fps_gop / baseline_fps, 2),
+        "vs_baseline": round(value / baseline_fps, 2),
     }))
 
 

@@ -1,11 +1,16 @@
-"""Profile the exact-path codec host-side breakdown (CPU-only run).
+"""Profile the exact-path codec host-side breakdown.
 
-Usage: JAX_PLATFORMS=cpu python scripts/profile_codec.py
+Usage: JAX_PLATFORMS=cpu python scripts/profile_codec.py [cpu|device]
+
+The optional arg picks codec.entropy_backend (default cpu). Run with
+backend=device ON THE REAL CHIP (no JAX_PLATFORMS prefix; axon overrides it
+anyway) to measure the production device-backend pair cost for docs/PERF.md.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if (sys.argv[1:] or ["cpu"])[0] != "device":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
@@ -20,9 +25,11 @@ from tvc.utils.fastinit import fast_init
 
 
 def main():
+    backend = (sys.argv[1:] or ["cpu"])[0]
+    print(f"entropy_backend={backend} platform={jax.devices()[0].platform}")
     model = ELICModel()
     variables = fast_init(model, jnp.zeros((1, 128, 128, 3)), seed=3)
-    coder = ELICCoder(model, variables)
+    coder = ELICCoder(model, variables, entropy_backend=backend)
     frames = np.random.RandomState(0).rand(2, 128, 128, 3).astype(np.float32)
 
     # warm

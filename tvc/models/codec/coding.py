@@ -142,7 +142,10 @@ def _stage_fns(m: ELICModel, entropy_backend: str = "cpu") -> dict:
     #            tests/test_codec.py::test_device_backend_cross_process and
     #            the verify skill; see docs/PERF.md "entropy_backend".
     try:
-        cpu_dev = jax.devices("cpu")[0]
+        # local_devices, not devices: under jax.distributed the global list
+        # starts with process 0's devices, and pinning another process's
+        # (non-addressable) CPU raises at device_put
+        cpu_dev = jax.local_devices(backend="cpu")[0]
     except RuntimeError:  # pragma: no cover - cpu backend always exists today
         cpu_dev = None
     if entropy_backend == "device":
@@ -284,7 +287,7 @@ class ELICCoder:
         return anchor_decs, nonanchor_qs
 
     def compress(self, x: np.ndarray, return_recon: bool = False,
-                 exact: bool = True) -> Dict[str, Any]:
+                 exact: bool = True, recon_device: bool = False) -> Dict[str, Any]:
         """x: (B,H,W,3) in [0,1]. Returns strings + z spatial shape + timings.
 
         exact=True (default, transmissible path): the big transforms run on
@@ -305,7 +308,14 @@ class ELICCoder:
 
         return_recon=True also synthesizes x_hat from the compress-side
         decoded latents — identical to decompress() by construction (the
-        encoder feeds its own decoded symbols forward, Network.py:401,427)."""
+        encoder feeds its own decoded symbols forward, Network.py:401,427).
+
+        recon_device=True leaves out["x_hat"] as the (asynchronously
+        dispatched) device array instead of fetching it to numpy — the
+        device-resident GOP loop consumes the reconstruction as the next
+        cycle's conditioning directly, so the blocking fetch (a full tunnel
+        RTT on axon) comes off the critical path; the caller fetches when
+        (if) it actually needs host bytes."""
         if not exact:
             return self._compress_fused(x, return_recon)
         v = self.variables
@@ -386,9 +396,13 @@ class ELICCoder:
                      "params": t_params},
         }
         if return_recon:
-            t_fetch = time.time()
-            out["x_hat"] = np.asarray(x_hat)
-            out["time"]["y_dec"] = t_syn_dispatch + (time.time() - t_fetch)
+            if recon_device:
+                out["x_hat"] = x_hat
+                out["time"]["y_dec"] = t_syn_dispatch
+            else:
+                t_fetch = time.time()
+                out["x_hat"] = np.asarray(x_hat)
+                out["time"]["y_dec"] = t_syn_dispatch + (time.time() - t_fetch)
         return out
 
     def _compress_fused(self, x: np.ndarray, return_recon: bool) -> Dict[str, Any]:

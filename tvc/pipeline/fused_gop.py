@@ -268,6 +268,9 @@ class FusedGOPSender:
         forced = jnp.full((B, self._max_updates), -1, jnp.int32)
         v = jnp.stack([self._prep_video(videos[i]) for i in range(B)])
         thr = jnp.asarray(thresholds, jnp.float32)
+        pv = self.predictor.variables
+        cv = self.coder.variables
+        lv = self.lpips.params if self.lpips is not None else {}
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -277,9 +280,49 @@ class FusedGOPSender:
             v, keys, thr, forced = multihost_utils.host_local_array_to_global_array(
                 (np.asarray(v), np.asarray(keys), np.asarray(thr),
                  np.asarray(forced)), mesh, P("data"))
+            # Params must ALREADY be global replicated arrays: handing
+            # process-local values to a multi-process replicated in_sharding
+            # makes jit insert a broadcast collective into the program, which
+            # forces lockstep execution and dies on compile skew (Gloo init
+            # timeout). make_array_from_callback builds the replicated global
+            # array communication-free — every process supplies its own
+            # (identical, by the deterministic-weights contract) copy.
+            repl = jax.sharding.NamedSharding(mesh, P())
+            mkey = ("global_params", id(mesh))
+            if mkey not in self._sharded_cache:
+                def _rep(a):
+                    a = np.asarray(a)
+                    return jax.make_array_from_callback(
+                        a.shape, repl, lambda idx, _a=a: _a[idx])
+
+                self._sharded_cache[mkey] = jax.tree_util.tree_map(
+                    _rep, (pv, cv, lv))
+            pv, cv, lv = self._sharded_cache[mkey]
+            # The vmapped while_loop's termination test reduces over the
+            # SHARDED chain axis, so the compiled program carries a
+            # cross-process collective every iteration — execution must be
+            # entered in lockstep. Compile ahead-of-time, then rendezvous at
+            # the coordination-service barrier (KV store, long timeout; a
+            # Gloo-based sync here would itself die on compile skew), then
+            # run: the first in-program collective sees both processes
+            # present and the Gloo context initializes cleanly.
+            ckey = ("sharded_compiled", id(mesh))
+            if ckey not in self._sharded_cache:
+                lowered = self._sharded_cache[key].lower(
+                    pv, cv, lv, v, keys, thr, forced)
+                self._sharded_cache[ckey] = lowered.compile()
+                try:
+                    from jax._src import distributed
+
+                    client = distributed.global_state.client
+                    if client is not None:
+                        self._barrier_n = getattr(self, "_barrier_n", 0) + 1
+                        client.wait_at_barrier(
+                            f"tvc_run_sharded_compiled_{self._barrier_n}",
+                            600_000)
+                except ImportError:  # pragma: no cover - private-API fallback
+                    pass
+            return self._sharded_cache[ckey](pv, cv, lv, v, keys, thr, forced)
         else:
             assert B % dp == 0, f"batch {B} not divisible by data axis {dp}"
-        return self._sharded_cache[key](
-            self.predictor.variables, self.coder.variables,
-            self.lpips.params if self.lpips is not None else {},
-            v, keys, thr, forced)
+        return self._sharded_cache[key](pv, cv, lv, v, keys, thr, forced)

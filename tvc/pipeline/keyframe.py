@@ -62,3 +62,22 @@ def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64,
     enc = coder.compress(x, return_recon=True, exact=exact)
     x_hat = enc["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
     return x_hat, per_frame_bits(enc["strings"], t)
+
+
+def code_frames_device(coder: ELICCoder, frames: np.ndarray, patch: int = 64,
+                       exact: bool = True):
+    """`code_frames` variant that keeps the reconstruction ON DEVICE.
+
+    Returns (x_hat device array (T,H,W,3), per-frame bit counts). The
+    device-resident GOP loop (tvc/pipeline/sender.py DeviceGOPRunner) feeds
+    the reconstruction straight into the next predict cycle's conditioning,
+    so fetching it to the host (a blocking tunnel RTT) would be pure
+    critical-path waste; unpadding is a device slice."""
+    import jax.numpy as jnp
+
+    frames = np.asarray(frames, np.float32)
+    t, h, w, _ = frames.shape
+    x, (pad_b, pad_r) = pad_to_multiple(frames, patch)
+    enc = coder.compress(x, return_recon=True, exact=exact, recon_device=True)
+    x_hat = jnp.asarray(enc["x_hat"])[:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
+    return x_hat, per_frame_bits(enc["strings"], t)

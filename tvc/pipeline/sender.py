@@ -280,10 +280,15 @@ class DeviceGOPRunner:
     scores (floats). Sampling, conditioning assembly, and scoring compile
     into a single program; predicted frames stay on the device and feed the
     next cycle's conditioning directly. Keyframes still go through the real
-    host rANS codec (exact transmissible streams), with their reconstruction
-    re-uploaded asynchronously. On a tunneled backend this removes ~2 large
-    transfers + 1 program call per cycle; on a local host it removes the
-    same dispatch+copy overheads at smaller scale.
+    host rANS codec (exact transmissible streams), but their reconstruction
+    also STAYS on device (code_frames_device): the synthesis g_s output is
+    dispatched asynchronously and consumed as the next cycle's conditioning
+    without ever visiting the host — only the per-frame bit counts (host
+    rANS byproduct) and the per-cycle scores cross, and the assembled x_ge
+    is fetched ONCE at the end of the GOP. On a tunneled backend (~30 ms
+    RTT) this removes ~2 RTTs per keyframe event + ~1 RTT per chunk at
+    assembly; on a local host it removes the same dispatch+copy overheads
+    at smaller scale.
 
     The PRNG key-split order mirrors `run_gop` exactly, so the same key
     walks the same trajectory (modulo ulp differences between the fused
@@ -349,8 +354,15 @@ class DeviceGOPRunner:
             [np.repeat(video_gt[T - 1: T], n_pred, axis=0)], axis=0)
         gt_dev = jnp.asarray(gt[None], jnp.float32)
 
-        dec0, bits0 = code_frames(coder, video_gt[:nc], patch, exact=exact)
-        chunk0 = jnp.asarray(dec0[None], jnp.float32)
+        from tvc.pipeline.keyframe import code_frames_device
+
+        # keyframe reconstructions stay ON DEVICE (code_frames_device): the
+        # next cycle consumes them as conditioning directly, so the old
+        # fetch-to-numpy + re-upload cost (2 tunnel RTTs per keyframe event)
+        # is off the critical path; the host only ever sees the final
+        # assembled x_ge in ONE fetch at the end.
+        dec0, bits0 = code_frames_device(coder, video_gt[:nc], patch, exact=exact)
+        chunk0 = jnp.asarray(dec0, jnp.float32)[None]
         chunks = [chunk0]
         cond2 = chunk0[:, -nc:]
         d: List[int] = [1] * nc
@@ -377,12 +389,12 @@ class DeviceGOPRunner:
 
             if n_acc == 0:
                 gt2 = video_gt[count: count + nc]
-                dec, bts = code_frames(coder, gt2, patch, exact=exact)
+                dec, bts = code_frames_device(coder, gt2, patch, exact=exact)
                 bits_list.extend(bts)
-                chunk = jnp.asarray(dec[None], jnp.float32)
+                chunk = jnp.asarray(dec, jnp.float32)[None]
                 chunks.append(chunk)
-                d.extend([1] * dec.shape[0])
-                count += dec.shape[0]
+                d.extend([1] * chunk.shape[1])
+                count += chunk.shape[1]
                 cond2 = chunk[:, -nc:] if chunk.shape[1] >= nc else \
                     jnp.concatenate([cond2[:, chunk.shape[1]:], chunk], axis=1)
             else:
@@ -392,7 +404,10 @@ class DeviceGOPRunner:
                 cond2 = pred[:, n_acc - nc: n_acc] if n_acc >= nc else \
                     jnp.concatenate([cond2[:, n_acc:], pred[:, :n_acc]], axis=1)
 
-        x_ge = np.concatenate([np.asarray(c) for c in chunks], axis=1)[:, :T]
+        # ONE host fetch for the whole GOP: the per-chunk device arrays
+        # (keyframe recons + accepted predictions) concatenate on device
+        # first — fetching them one by one costs a tunnel RTT each
+        x_ge = np.asarray(jnp.concatenate(chunks, axis=1)[:, :T])
         bits = int(sum(bits_list))
         return GOPResult(
             d=np.asarray(d, np.int64)[None][:, :T], x_ge=x_ge, bits=bits,
