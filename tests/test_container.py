@@ -40,3 +40,29 @@ def test_container_roundtrip(tmp_path):
 def test_container_rejects_garbage():
     with pytest.raises(AssertionError):
         container.deserialize(b"NOPE" + b"\x00" * 16)
+
+
+def test_tvc2_profile_roundtrip_and_mismatch():
+    """TVC2 coding profile: the recorded entropy backend round-trips, a
+    mismatched receiver fails loudly, and TVC1 (no profile) skips the check."""
+    import pytest
+
+    from tvc.models.codec import container
+
+    # 1 slice, batch 1
+    enc = {"strings": [[[[b"anchor"], [b"non"]]], [b"zz"]], "shape": (2, 3)}
+
+    blob2 = container.serialize(enc, entropy_backend="device")
+    assert blob2[:4] == b"TVC2"
+    dec = container.deserialize(blob2, expect_entropy_backend="device")
+    assert dec["entropy_backend"] == "device"
+    assert dec["shape"] == (2, 3)
+    assert dec["strings"][0][0][0][0] == b"anchor"
+
+    with pytest.raises(ValueError, match="entropy_backend"):
+        container.deserialize(blob2, expect_entropy_backend="cpu")
+
+    blob1 = container.serialize(enc)  # no profile -> TVC1, check skipped
+    assert blob1[:4] == b"TVC1"
+    dec1 = container.deserialize(blob1, expect_entropy_backend="device")
+    assert dec1["entropy_backend"] is None

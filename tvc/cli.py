@@ -280,7 +280,8 @@ def cmd_codec(argv: List[str]) -> int:
         # receiver: decode the container only
         from tvc.models.codec import container
 
-        enc = container.load(args.from_bitstream)
+        enc = container.load(args.from_bitstream,
+                             expect_entropy_backend=cfg.codec.entropy_backend)
         dec = coder.decompress(enc["strings"], enc["shape"])
         x_hat = dec["x_hat"][:, : x.shape[1], : x.shape[2], :]
         bpp = float("nan")
@@ -295,7 +296,11 @@ def cmd_codec(argv: List[str]) -> int:
 
         xp, _ = pad_to_multiple(x, cfg.codec.patch)
         enc = coder.compress(xp)
-        nbytes = container.save(args.save_bitstream, enc)
+        # record the coding profile (TVC2) for non-default backends so a
+        # mismatched receiver fails loudly instead of decoding garbage
+        eb = cfg.codec.entropy_backend
+        nbytes = container.save(args.save_bitstream, enc,
+                                entropy_backend=None if eb == "cpu" else eb)
         print(f"[sender] wrote {nbytes} bytes "
               f"({nbytes * 8 / (x.shape[0] * x.shape[1] * x.shape[2]):.4f} bpp) "
               f"-> {args.save_bitstream}")
