@@ -160,6 +160,27 @@ def test_device_gop_runner_matches_run_gop(tiny_pipeline):
         np.testing.assert_allclose(got.x_ge, ref.x_ge, atol=2e-3)
 
 
+def test_device_gop_runner_uint8_transport(tiny_pipeline):
+    """uint8 ground-truth transport must walk the identical trajectory as the
+    equivalent float video (u8/255 in f32 is computed identically on either
+    side of the link)."""
+    import jax as _jax
+
+    from tvc.pipeline.sender import DeviceGOPRunner
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    T = 8
+    video_u8 = (np.random.RandomState(6).rand(T, 64, 64, 3) * 255).round().astype(np.uint8)
+    video_f = video_u8.astype(np.float32) / 255.0
+    runner = DeviceGOPRunner(cfg, predictor, lpips=lp, num_frames_total=T)
+    key = _jax.random.PRNGKey(11)
+    a = runner.run(coder, video_u8, key, 0.5, patch=cfg.codec.patch)
+    b = runner.run(coder, video_f, key, 0.5, patch=cfg.codec.patch)
+    assert a.d[0].tolist() == b.d[0].tolist()
+    assert a.bits == b.bits
+    np.testing.assert_array_equal(a.x_ge, b.x_ge)
+
+
 def test_device_gop_runner_forced_accepts(tiny_pipeline):
     import jax as _jax
 

@@ -279,14 +279,18 @@ def bench_pipeline(
         _log("building device-resident GOP runner (exact codec)")
         runner = DeviceGOPRunner(cfg, predictor, lpips=lp, num_frames_total=30)
         forced = [5, 0, 5, 0, 5, 5, 5]
+        # uint8 ground-truth transport (the dataset's native format,
+        # city_sender.py:487): 1/4 the host->device bytes on the
+        # bandwidth-limited link; converted to [0,1] float on device
+        video_u8 = np.clip(video * 255.0, 0, 255).round().astype(np.uint8)
         t0 = time.time()
-        out = runner.run(codec_result["coder"], video, jax.random.PRNGKey(41),
+        out = runner.run(codec_result["coder"], video_u8, jax.random.PRNGKey(41),
                          0.1, forced_accepts=forced)
         _log(f"device GOP compiled+ran in {time.time() - t0:.1f}s")
         times = []
         for i in range(3):
             t0 = time.time()
-            out = runner.run(codec_result["coder"], video,
+            out = runner.run(codec_result["coder"], video_u8,
                              jax.random.PRNGKey(42 + i), 0.1,
                              forced_accepts=forced)
             times.append(time.time() - t0)

@@ -335,11 +335,14 @@ class DeviceGOPRunner:
 
     def run(self, coder, video_gt: np.ndarray, key: jax.Array, threshold: float,
             patch: int = 64,
-            forced_accepts: Optional[Sequence[int]] = None) -> GOPResult:
+            forced_accepts: Optional[Sequence[int]] = None,
+            timings: Optional[dict] = None) -> GOPResult:
         """Encode one GOP; semantics of `run_gop` (exact transmissible
         keyframes). forced_accepts overrides the metric decision per update
         (-1 entries fall back to the metric) — deterministic worst-case
-        benchmarking."""
+        benchmarking. timings (optional dict) collects a per-phase wall
+        breakdown: 'cycle_fetch' (dispatch->scores), 'keyframes' (per
+        coding event), 'assemble' (final single x_ge fetch)."""
         t0 = time.time()
         cfg = self.cfg
         T = self.T
@@ -347,23 +350,57 @@ class DeviceGOPRunner:
         n_pred = cfg.data.num_frames
         h, w = video_gt.shape[1], video_gt.shape[2]
         exact = cfg.codec.exact_streams
-
-        # replicate-pad past T so the tail gt5 slice is static-shaped
-        gt = np.concatenate(
-            [video_gt[:T]] +
-            [np.repeat(video_gt[T - 1: T], n_pred, axis=0)], axis=0)
-        gt_dev = jnp.asarray(gt[None], jnp.float32)
+        if video_gt.dtype == np.uint8:
+            # uint8 transport: the ground truth rides the (bandwidth-limited
+            # on tunneled backends) host->device link at 1/4 the bytes and is
+            # converted to [0,1] float on device — the natural format for
+            # video sources, matching the reference's uint8-range dataset
+            # (city_sender.py:487 loads /255)
+            video_f32 = None
+        else:
+            video_f32 = np.asarray(video_gt, np.float32)
 
         from tvc.pipeline.keyframe import code_frames_device
+
+        def gt_slice(a, b):
+            """Host-side float view of gt frames [a:b) for the codec."""
+            if video_f32 is not None:
+                return video_f32[a:b]
+            return video_gt[a:b].astype(np.float32) / 255.0
 
         # keyframe reconstructions stay ON DEVICE (code_frames_device): the
         # next cycle consumes them as conditioning directly, so the old
         # fetch-to-numpy + re-upload cost (2 tunnel RTTs per keyframe event)
         # is off the critical path; the host only ever sees the final
-        # assembled x_ge in ONE fetch at the end.
-        dec0, bits0 = code_frames_device(coder, video_gt[:nc], patch, exact=exact)
+        # assembled x_ge — each chunk's device->host copy starts
+        # asynchronously the moment the chunk is final, hiding the transfer
+        # behind the remaining sampler sweeps.
+        # (The initial keyframes are dispatched BEFORE the big gt upload so
+        # their small transfers don't queue behind it.)
+        t_kf0 = time.time()
+        dec0, bits0 = code_frames_device(coder, gt_slice(0, nc), patch, exact=exact)
+        if timings is not None:
+            timings.setdefault("keyframes", []).append(time.time() - t_kf0)
         chunk0 = jnp.asarray(dec0, jnp.float32)[None]
+
+        # replicate-pad past T so the tail gt5 slice is static-shaped; the
+        # upload overlaps the first predict cycle's dispatch
+        gt = np.concatenate(
+            [video_gt[:T]] +
+            [np.repeat(video_gt[T - 1: T], n_pred, axis=0)], axis=0)
+        if video_f32 is None:
+            gt_dev = jnp.asarray(gt[None]).astype(jnp.float32) / 255.0
+        else:
+            gt_dev = jnp.asarray(gt[None], jnp.float32)
+
+        def _start_copy(c):
+            try:
+                c.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # backend without async copy
+                pass
+
         chunks = [chunk0]
+        _start_copy(chunk0)
         cond2 = chunk0[:, -nc:]
         d: List[int] = [1] * nc
         bits_list: List[int] = list(bits0)
@@ -373,9 +410,12 @@ class DeviceGOPRunner:
 
         while count < T:
             key, sub = jax.random.split(key)
+            t_cyc = time.time()
             pred, scores = self._cycle(
                 self.predictor.variables, lp, sub, cond2, gt_dev, jnp.int32(count))
             s = np.asarray(scores)  # the cycle's single blocking fetch
+            if timings is not None:
+                timings.setdefault("cycle_fetch", []).append(time.time() - t_cyc)
             valid = (count + np.arange(n_pred)) < T
             ok = ((s >= threshold) if self.use_psnr else (s <= threshold)) & valid
             n_acc = int(np.argmin(ok)) if not ok.all() else n_pred
@@ -388,26 +428,37 @@ class DeviceGOPRunner:
             accepts.append(n_acc)
 
             if n_acc == 0:
-                gt2 = video_gt[count: count + nc]
+                gt2 = gt_slice(count, count + nc)
+                t_kf = time.time()
                 dec, bts = code_frames_device(coder, gt2, patch, exact=exact)
+                if timings is not None:
+                    timings.setdefault("keyframes", []).append(time.time() - t_kf)
                 bits_list.extend(bts)
                 chunk = jnp.asarray(dec, jnp.float32)[None]
                 chunks.append(chunk)
+                _start_copy(chunk)
                 d.extend([1] * chunk.shape[1])
                 count += chunk.shape[1]
                 cond2 = chunk[:, -nc:] if chunk.shape[1] >= nc else \
                     jnp.concatenate([cond2[:, chunk.shape[1]:], chunk], axis=1)
             else:
-                chunks.append(pred[:, :n_acc])
+                chunk = pred[:, :n_acc]
+                chunks.append(chunk)
+                _start_copy(chunk)
                 d.extend([0] * n_acc)
                 count += n_acc
                 cond2 = pred[:, n_acc - nc: n_acc] if n_acc >= nc else \
                     jnp.concatenate([cond2[:, n_acc:], pred[:, :n_acc]], axis=1)
 
-        # ONE host fetch for the whole GOP: the per-chunk device arrays
-        # (keyframe recons + accepted predictions) concatenate on device
-        # first — fetching them one by one costs a tunnel RTT each
-        x_ge = np.asarray(jnp.concatenate(chunks, axis=1)[:, :T])
+        # Final assembly: every chunk's device->host transfer was started
+        # asynchronously when the chunk became final (device arrays are
+        # immutable), so most bytes are already host-side; the np.asarray
+        # here just drains the last in-flight copy instead of paying the
+        # full ~6 MB over the link at the end.
+        t_asm = time.time()
+        x_ge = np.concatenate([np.asarray(c) for c in chunks], axis=1)[:, :T]
+        if timings is not None:
+            timings["assemble"] = time.time() - t_asm
         bits = int(sum(bits_list))
         return GOPResult(
             d=np.asarray(d, np.int64)[None][:, :T], x_ge=x_ge, bits=bits,
