@@ -531,13 +531,13 @@ def convert_elic_state_dict(sd: Dict[str, Any], groups=(16, 16, 32, 64, 192)) ->
     return {"params": params}
 
 
-def load_codec_checkpoint(path: str) -> Dict[str, Any]:
+def load_codec_checkpoint(path: str, groups=(16, 16, 32, 64, 192)) -> Dict[str, Any]:
     import torch
 
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    return convert_elic_state_dict(sd)
+    return convert_elic_state_dict(sd, groups=groups)
 
 
 # --------------------------------------------------------------------------

@@ -298,7 +298,8 @@ def check_diffusion_ckpt(ckpt: Optional[str], cfg=None,
 
 @_guard("codec")
 def check_codec_ckpts(paths: Optional[Sequence[str]],
-                      reference: str = REFERENCE_DEFAULT) -> Dict[str, Any]:
+                      reference: str = REFERENCE_DEFAULT,
+                      codec_cfg=None) -> Dict[str, Any]:
     if not paths:
         return _result("codec", "skip", "no --codec-ckpts given")
     import jax.numpy as jnp
@@ -308,7 +309,8 @@ def check_codec_ckpts(paths: Optional[Sequence[str]],
     from tvc.models.codec.elic import make_elic
     from tvc.utils.convert import load_codec_checkpoint
 
-    model = make_elic(CodecConfig())
+    codec_cfg = codec_cfg or CodecConfig()
+    model = make_elic(codec_cfg)
     rng = np.random.RandomState(0)
     x = rng.rand(1, 128, 128, 3).astype(np.float32)
 
@@ -321,7 +323,7 @@ def check_codec_ckpts(paths: Optional[Sequence[str]],
         have_compressai = False
 
     for q, path in enumerate(paths):
-        variables = load_codec_checkpoint(path)
+        variables = load_codec_checkpoint(path, groups=tuple(codec_cfg.groups))
         coder = ELICCoder(model, variables)
         enc = coder.compress(x, return_recon=True)
         dec = coder.decompress(enc["strings"], enc["shape"])
