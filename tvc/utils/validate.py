@@ -386,7 +386,17 @@ def check_i3d(i3d_ckpt: Optional[str], tol: float = 5.0) -> Dict[str, Any]:
 
     from tvc.metrics.fvd import FVDMetric
 
-    sd = torch.load(i3d_ckpt, map_location="cpu")
+    # the reference's actual artifact is a TorchScript archive
+    # (`i3d_torchscript.pt`, models/fvd/fvd.py:30-38) — torch.load cannot
+    # read those; fall back to torch.jit.load and take its state dict.
+    # A pytorch_i3d-style plain state dict (convert_tf_pretrained.py output)
+    # loads directly.
+    try:
+        sd = torch.load(i3d_ckpt, map_location="cpu")
+        if not isinstance(sd, dict):
+            sd = sd.state_dict()
+    except Exception:
+        sd = torch.jit.load(i3d_ckpt, map_location="cpu").state_dict()
     m = FVDMetric(sd)
     if not m.calibrated:
         return _result("i3d", "fail", "weights loaded but metric not calibrated")
