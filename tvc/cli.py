@@ -296,11 +296,10 @@ def cmd_codec(argv: List[str]) -> int:
 
         xp, _ = pad_to_multiple(x, cfg.codec.patch)
         enc = coder.compress(xp)
-        # record the coding profile (TVC2) for non-default backends so a
-        # mismatched receiver fails loudly instead of decoding garbage
-        eb = cfg.codec.entropy_backend
+        # always record the coding profile (TVC2) so a mismatched receiver
+        # fails loudly in BOTH directions instead of decoding garbage
         nbytes = container.save(args.save_bitstream, enc,
-                                entropy_backend=None if eb == "cpu" else eb)
+                                entropy_backend=cfg.codec.entropy_backend)
         print(f"[sender] wrote {nbytes} bytes "
               f"({nbytes * 8 / (x.shape[0] * x.shape[1] * x.shape[2]):.4f} bpp) "
               f"-> {args.save_bitstream}")

@@ -12,9 +12,10 @@ transmitted/stored and decoded by a separate receiver process:
 detect a sender/receiver configuration mismatch BEFORE silently decoding
 garbage (rANS has no internal checksum): currently the profile carries the
 entropy backend (coding.py — both ends must run the entropy-parameter
-executables on the same backend or the streams desync). TVC1 remains the
-default wire format when no profile is attached (backend unspecified — no
-mismatch check), keeping golden streams stable.
+executables on the same backend or the streams desync). All tvc writers
+(the codec CLI, the GOP payload path) stamp the profile; TVC1 is the
+legacy read-compatible format (backend unspecified — no mismatch check)
+and remains what `serialize(enc)` with no profile argument produces.
 """
 
 from __future__ import annotations

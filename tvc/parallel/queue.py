@@ -178,18 +178,24 @@ class WorkQueue:
         except FileExistsError:
             return False
         except OSError:
-            # Filesystems without hardlinks (rare; some FUSE mounts): reserve
-            # exclusively on a SIDECAR lock, then rename the fully-written
-            # tmp onto the done path — readers (results()/all_done/the merge
-            # winner) only ever see a complete file, unlike an O_EXCL-create
-            # + copy of the live path, which exposes a truncation window.
+            # Filesystems without hardlinks (rare; some FUSE mounts): publish
+            # by atomic RENAME first — readers (results()/all_done/the merge
+            # winner) only ever see a complete file, and a crash can never
+            # leave the unit unpublished (rename-then-lock, not
+            # lock-then-rename: a lock orphaned by a crash would wedge the
+            # unit forever, since done never appears and every later
+            # completer loses the lock race). The O_EXCL sidecar then
+            # arbitrates the single True return; concurrent renames are
+            # last-writer-wins on the (complete) result file, a documented
+            # deviation from the hardlink path's first-writer-wins that only
+            # matters when a stolen unit finishes twice on such a filesystem.
+            os.rename(tmp, path)  # atomic; tmp is complete+fsynced
             lock = f"{path}.lock"
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 return False
             os.close(fd)
-            os.rename(tmp, path)  # atomic replace; tmp is complete+fsynced
             return True
         finally:
             try:

@@ -106,6 +106,20 @@ class BatchedGOPRunner:
                 assert job.video.shape[0] >= job.num_frames_total, (
                     "video shorter than num_frames_total: chain cannot terminate"
                 )
+            if bpp_stop is not None and len(walk) > 1:
+                # retirement is only sound when transmission is monotone
+                # NON-DECREASING along the walk: LPIPS accepts d <= rho, so
+                # LOWER rho transmits more (walk descending); PSNR accepts
+                # psnr >= rho, so HIGHER rho transmits more (walk ascending)
+                thr = [j.threshold for j in walk]
+                ok = (all(a >= b for a, b in zip(thr, thr[1:]))
+                      if not walk[0].use_psnr
+                      else all(a <= b for a, b in zip(thr, thr[1:])))
+                assert ok, (
+                    "walk thresholds must be ordered least-transmitting "
+                    "first (LPIPS: descending; PSNR: ascending) for the "
+                    f"bpp early stop to be sound; got {thr} "
+                    f"(use_psnr={walk[0].use_psnr})")
         t0 = time.time()
         B = self.batch_size
         size = cfg.data.image_size

@@ -288,7 +288,11 @@ class FusedGOPSender:
             # array communication-free — every process supplies its own
             # (identical, by the deterministic-weights contract) copy.
             repl = jax.sharding.NamedSharding(mesh, P())
-            mkey = ("global_params", id(mesh))
+            # cache keys include the param-tree identities and the batch
+            # shape: swapping variables (run() supports per-call coder
+            # weights) or changing B must not reuse a stale replicated copy
+            # or a shape-locked executable
+            mkey = ("global_params", id(mesh), id(pv), id(cv), id(lv))
             if mkey not in self._sharded_cache:
                 def _rep(a):
                     a = np.asarray(a)
@@ -306,7 +310,7 @@ class FusedGOPSender:
             # Gloo-based sync here would itself die on compile skew), then
             # run: the first in-program collective sees both processes
             # present and the Gloo context initializes cleanly.
-            ckey = ("sharded_compiled", id(mesh))
+            ckey = ("sharded_compiled", id(mesh), mkey, B)
             if ckey not in self._sharded_cache:
                 lowered = self._sharded_cache[key].lower(
                     pv, cv, lv, v, keys, thr, forced)

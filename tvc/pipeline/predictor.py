@@ -45,6 +45,22 @@ class FramePredictor:
                     "precision_schedule needs f32 master params (params_dtype=None)"
         self.model_hi = (UNetMoreDDPM(cfg=cfg, dtype=jnp.float32)
                          if self.hi_steps > 0 and dtype != jnp.float32 else None)
+        if self.model_hi is not None and \
+                (sampler_version or cfg.model.version).upper() != "DDPM":
+            raise ValueError(
+                "precision_schedule is supported for DDPM (got "
+                f"{(sampler_version or cfg.model.version).upper()})")
+        # fourier embedding consumes CONTINUOUS noise levels (the reference
+        # applies log() to time_cond, ncsnpp_more.py:264-268); every sampler
+        # here passes integer step labels (log(0) = -inf at step 0), so the
+        # combination cannot work — same as the reference, where the fourier
+        # branch is unreachable. The capability exists at the NCSNpp level
+        # (pass sigmas yourself); the predictor refuses the footgun.
+        if cfg.model.embedding_type == "fourier":
+            raise ValueError(
+                "embedding_type='fourier' expects continuous noise-level "
+                "conditioning; the DDPM/DDIM/FPNDM samplers pass integer "
+                "step labels. Use NCSNpp directly with sigma inputs.")
         if params_dtype is not None:
             # Store the weights in the compute dtype (usually bf16). At B=1
             # the deep UNet levels are weight-streaming-bound, so keeping f32
@@ -75,9 +91,6 @@ class FramePredictor:
                     clip_before=samp.clip_before,
                 )
         elif self.model_hi is not None:
-            if self.version != "DDPM":
-                raise ValueError(
-                    f"precision_schedule is supported for DDPM (got {self.version})")
             from tvc.samplers.ancestral import ddpm_sampler
             model_hi = self.model_hi
             hi_steps = self.hi_steps

@@ -133,7 +133,8 @@ def run_gop(
             x, (pad_b, pad_r) = pad_to_multiple(frames.astype(np.float32), patch)
             enc = coder.compress(x, return_recon=True)
             dec = enc["x_hat"][:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
-            containers.append(container.serialize(enc))
+            containers.append(container.serialize(
+                enc, entropy_backend=sender.cfg.codec.entropy_backend))
             return dec, per_frame_bits(enc["strings"], frames.shape[0])
         return code_frames(coder, frames, patch,
                            exact=sender.cfg.codec.exact_streams)

@@ -141,11 +141,12 @@ def check_lpips(alex_pth: Optional[str], lin_pth: Optional[str]) -> Dict[str, An
     details: List[str] = []
     metrics: Dict[str, Any] = {}
 
-    if lin_pth is not None:
+    lin_sd = torch.load(lin_pth, map_location="cpu") if lin_pth is not None else None
+    if lin_sd is not None:
         # head conversion round trip vs the torch tensors (the heads are the
         # learned part of net-lin; weights/v0.1/alex.pth ships with the
         # reference)
-        sd = torch.load(lin_pth, map_location="cpu")
+        sd = lin_sd
         n = 0
         for k in range(5):
             key = f"lin{k}.model.1.weight"
@@ -187,9 +188,8 @@ def check_lpips(alex_pth: Optional[str], lin_pth: Optional[str]) -> Dict[str, An
                 a = a / (a.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
                 b = b / (b.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
                 diff = (a - b) ** 2
-                if lin_pth is not None:
-                    w = torch.load(lin_pth, map_location="cpu")[
-                        f"lin{k}.model.1.weight"].clamp(min=0)
+                if lin_sd is not None:
+                    w = lin_sd[f"lin{k}.model.1.weight"].clamp(min=0)
                     d = torch.nn.functional.conv2d(diff, w)
                 else:
                     d = diff.sum(1, keepdim=True) * 0.1  # init-constant heads
@@ -466,11 +466,19 @@ def check_rd_point(data_npy: Optional[str], ckpt: Optional[str],
                    lpips_alex: Optional[str], lpips_lin: Optional[str],
                    threshold: float = 0.10,
                    qualities: Sequence[int] = (4, 5)) -> Dict[str, Any]:
+    # a calibrated LPIPS needs BOTH the backbone and the heads — accept
+    # decisions with a random backbone would "validate" meaningless curves
     missing = [n for n, v in [("--data", data_npy), ("--ckpt", ckpt),
                               ("--codec-ckpts", codec_ckpts),
+                              ("--lpips-alex", lpips_alex),
                               ("--lpips-lin", lpips_lin)] if not v]
     if missing:
         return _result("rd", "skip", f"needs {', '.join(missing)}")
+    bad_q = [q for q in qualities if q >= len(codec_ckpts)]
+    if bad_q:
+        return _result("rd", "skip",
+                       f"qualities {bad_q} need codec checkpoints q0..q{max(qualities)} "
+                       f"(got {len(codec_ckpts)})")
     import jax
 
     from tvc.core.config import Config
@@ -533,7 +541,12 @@ def run_validation(ckpt: Optional[str] = None,
         check_i3d(i3d),
     ]
     if with_bf16:
-        results.append(check_bf16_drift(ckpt))
+        lp = None
+        if lpips_alex and lpips_lin:
+            from tvc.metrics.lpips import LPIPSMetric
+
+            lp = LPIPSMetric.create(lpips_alex, lpips_lin)
+        results.append(check_bf16_drift(ckpt, lpips_metric=lp))
     if with_rd:
         results.append(check_rd_point(data_npy, ckpt, codec_ckpts,
                                       lpips_alex, lpips_lin))
