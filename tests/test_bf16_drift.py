@@ -72,6 +72,7 @@ def _setup():
     return cfg, m32, m16, variables, x, t, cond
 
 
+@pytest.mark.heavy
 def test_bf16_per_step_eps_error():
     """One UNet forward: bf16 output vs f32 output from identical weights.
 
@@ -94,6 +95,7 @@ def test_bf16_per_step_eps_error():
     assert mean_rel < 0.02, mean_rel
 
 
+@pytest.mark.heavy
 def test_trajectory_divergence_measurement():
     """Short-trajectory f32-vs-bf16 divergence, REPORTED with its mechanism.
 
@@ -134,6 +136,7 @@ def test_trajectory_divergence_measurement():
     assert np.abs(bf16).max() <= 1.0 + 1e-3
 
 
+@pytest.mark.heavy
 def test_mixed_precision_schedule_endpoints():
     """sampling.precision_schedule='f32:K' (VERDICT r3 item 4, the
     docs/BF16.md hedge): first K high-t steps in f32, rest in bf16.

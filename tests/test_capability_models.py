@@ -131,6 +131,7 @@ def test_layers3d():
 
 
 @pytest.mark.parametrize("arch", ["unetmore3d", "unetmorepseudo3d"])
+@pytest.mark.heavy
 def test_ncsnpp3d_archs(arch):
     from tvc.models.diffusion.ncsnpp import UNetMoreDDPM
 

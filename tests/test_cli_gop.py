@@ -17,6 +17,7 @@ TINY_MODS = [
 ]
 
 
+@pytest.mark.heavy
 def test_gop_send_receive_byte_identity(tmp_path, capsys):
     video = np.random.RandomState(9).rand(8, 64, 64, 3).astype(np.float32)
     vp = tmp_path / "video.npy"

@@ -8,6 +8,7 @@
 """
 
 import numpy as np
+import pytest
 import yaml
 
 from tvc.cli import main as cli_main
@@ -28,6 +29,7 @@ def _tiny_dataset(tmp_path):
     return str(p)
 
 
+@pytest.mark.heavy
 def test_sweep_refuses_uncalibrated_metrics(tmp_path, capsys):
     dp = _tiny_dataset(tmp_path)
     rc = cli_main(["sweep", "--data-npy", dp, "--output-path", str(tmp_path / "out"),
@@ -37,6 +39,7 @@ def test_sweep_refuses_uncalibrated_metrics(tmp_path, capsys):
     assert "missing metric weights" in err and "--allow-uncalibrated" in err
 
 
+@pytest.mark.heavy
 def test_sweep_allow_uncalibrated_stamps_provenance(tmp_path):
     dp = _tiny_dataset(tmp_path)
     out = tmp_path / "out"

@@ -575,6 +575,7 @@ def _synthetic_3d_sd(cfg, pseudo3d):
 
 
 @pytest.mark.parametrize("arch", ["unetmore3d", "unetmorepseudo3d"])
+@pytest.mark.heavy
 def test_3d_conversion_full_tree(arch):
     from tvc.models.diffusion.ncsnpp import UNetMoreDDPM
     from tvc.utils.convert import convert_3d_state_dict

@@ -129,6 +129,7 @@ def test_rate_sweep_fused_path(fused_setup):
     assert p.bpp > 0 and np.isfinite(p.lpips_list).all()
 
 
+@pytest.mark.heavy
 def test_run_sharded_on_mesh(fused_setup):
     """Chains shard over the mesh data axis (8 virtual CPU devices)."""
     from tvc.parallel.mesh import make_mesh
@@ -147,6 +148,7 @@ def test_run_sharded_on_mesh(fused_setup):
     assert (d == ([1, 1] + [0] * (T_TOTAL - 2))).all()
 
 
+@pytest.mark.heavy
 def test_batched_matches_single(fused_setup):
     cfg, _, _, _, sender, video = fused_setup
     videos = np.stack([video, video[::-1].copy()])

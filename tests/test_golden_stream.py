@@ -11,6 +11,7 @@ state) — catching nondeterminism in the device->host entropy pipeline.
 import hashlib
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def _flatten_streams(strings):
     return b"".join(out)
 
 
+@pytest.mark.heavy
 def test_stream_bytes_stable_across_instances():
     model = ELICModel(N=16, M=24, groups=(4, 4, 4, 4, 8))
     x0 = jnp.zeros((1, 64, 64, 3))

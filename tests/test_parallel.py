@@ -77,6 +77,7 @@ def test_collectives_on_cpu_mesh():
     np.testing.assert_allclose(np.asarray(r), np.roll(np.asarray(x), 1, axis=0))
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_8():
     from tvc.parallel.train import dryrun_multichip
 
