@@ -48,3 +48,34 @@ def test_gop_send_receive_byte_identity(tmp_path, capsys):
     a, b = np.load(sent), np.load(recv)
     assert a.shape == b.shape == (8, 64, 64, 3)
     assert a.tobytes() == b.tobytes(), "receiver reconstruction not byte-identical"
+
+
+@pytest.mark.heavy
+def test_gop_send_device_gop_receive_byte_identity(tmp_path, capsys):
+    """`tvc gop send --device-gop` (the production latency path) emits a
+    payload a standard receiver reconstructs BYTE-identically — the sender's
+    prediction runs the same jitted sampler executable the receiver runs
+    (VERDICT r4 item 1). Each cli_main call builds fresh model/jit instances,
+    so this exercises the cross-instance determinism the cross-process
+    contract rests on."""
+    video = np.random.RandomState(10).rand(8, 64, 64, 3).astype(np.float32)
+    vp = tmp_path / "video.npy"
+    np.save(vp, video)
+    payload = str(tmp_path / "gop_dev.tvcg.npz")
+    sent = str(tmp_path / "sender_dev.npy")
+    recv = str(tmp_path / "recv_dev.npy")
+
+    rc = cli_main(["gop", "send", "--video-npy", str(vp), "--payload", payload,
+                   "--threshold", "0.5", "--num-frames", "8",
+                   "--config-mod", *TINY_MODS, "--output-npy", sent,
+                   "--device-gop", "--allow-uncalibrated"])
+    assert rc == 0
+    assert "[gop send]" in capsys.readouterr().out
+
+    rc = cli_main(["gop", "receive", "--video-npy", str(vp), "--payload", payload,
+                   "--config-mod", *TINY_MODS, "--output-npy", recv])
+    assert rc == 0
+
+    a, b = np.load(sent), np.load(recv)
+    assert a.shape == b.shape == (8, 64, 64, 3)
+    assert a.tobytes() == b.tobytes(), "receiver reconstruction not byte-identical"

@@ -57,8 +57,19 @@ def test_sweep_allow_uncalibrated_stamps_provenance(tmp_path):
 
 def test_sweep_mode_exclusion_guards(tmp_path, capsys):
     dp = _tiny_dataset(tmp_path)
-    for flag in ("--device-gop", "--fused-gop"):
-        rc = cli_main(["sweep", "--data-npy", dp, "--output-path",
-                       str(tmp_path / "out2"), flag, "--batched", "2"])
-        assert rc == 2, flag
-        assert "sequential-mode only" in capsys.readouterr().out
+    # --fused-gop is sequential-only (simulation codec, no queue workers)
+    rc = cli_main(["sweep", "--data-npy", dp, "--output-path",
+                   str(tmp_path / "out2"), "--fused-gop", "--batched", "2"])
+    assert rc == 2
+    assert "sequential-mode only" in capsys.readouterr().out
+    rc = cli_main(["sweep", "--data-npy", dp, "--output-path",
+                   str(tmp_path / "out2"), "--fused-gop", "--queue-dir",
+                   str(tmp_path / "q")])
+    assert rc == 2
+    capsys.readouterr()
+    # --device-gop excludes only --batched; --queue-dir workers ARE allowed
+    # to run DeviceGOPRunner chains (VERDICT r4 item 7)
+    rc = cli_main(["sweep", "--data-npy", dp, "--output-path",
+                   str(tmp_path / "out2"), "--device-gop", "--batched", "2"])
+    assert rc == 2
+    assert "drop --batched" in capsys.readouterr().out

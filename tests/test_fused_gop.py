@@ -163,3 +163,45 @@ def test_batched_matches_single(fused_setup):
     single = sender.run(video, jax.random.PRNGKey(5), threshold=np.inf)
     np.testing.assert_allclose(np.asarray(out["x_ge"])[0],
                                np.asarray(single["x_ge"]), atol=1e-4)
+
+
+def test_replicated_params_cache_identity(fused_setup):
+    """run_sharded's replicated-params cache is identity-keyed with STRONG
+    references (VERDICT r4 item 5): same trees hit, an equal-but-distinct
+    tree misses (fresh replication), and cached source trees cannot be
+    GC'd out from under their entry (so a recycled id() can never alias)."""
+    import copy
+    import gc
+    import weakref
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tvc.parallel.mesh import make_mesh
+
+    cfg, predictor, coder, lp, sender, _ = fused_setup
+    mesh = make_mesh(cfg.mesh)
+    repl = NamedSharding(mesh, P())
+    pv, cv = predictor.variables, coder.variables
+
+    lv = {"x": np.ones((2,), np.float32)}
+    i0, rep0, _ = sender._replicated_params(mesh, pv, cv, lv, repl)
+    i1, rep1, _ = sender._replicated_params(mesh, pv, cv, lv, repl)
+    assert i0 == i1 and rep0 is rep1  # identity hit
+
+    # structurally equal but distinct tree -> MISS (fresh replication)
+    lv2 = copy.deepcopy(lv)
+    i2, rep2, _ = sender._replicated_params(mesh, pv, cv, lv2, repl)
+    assert i2 != i0 and rep2 is not rep0
+
+    # the cache keeps its source trees alive: dropping our reference must
+    # not free the tree's leaves (id recycling would otherwise be possible);
+    # weakref the numpy leaf (dicts aren't weakref-able)
+    ref = weakref.ref(lv2["x"])
+    del lv2
+    gc.collect()
+    assert ref() is not None
+
+    # the no-LPIPS sentinel is stable across calls (ADVICE r4: a fresh {}
+    # per call would re-replicate + recompile every time)
+    assert sender._empty_lp is sender._empty_lp
+    sender._param_entries.clear()

@@ -129,3 +129,70 @@ def test_queued_sweep_driver_merge(tmp_path, tiny_pipeline):
         assert len(pts) == 1 and pts[0]["quality"] == 4
     # a third worker neither re-runs units nor re-merges
     assert run_sweep_queued(cfg, data, {4: coder}, predictor, **kw) == 0
+
+
+def test_mark_done_no_hardlink_fallback_single_winner(tmp_path, monkeypatch):
+    """Filesystems without os.link: the O_EXCL .lock is taken FIRST and the
+    winner renames immediately after, so the bytes that persist are the
+    True-returner's (ADVICE r4)."""
+    q = WorkQueue.create_or_open(str(tmp_path), _jobs(1))
+
+    def no_link(src, dst):
+        raise OSError("no hardlinks here")
+
+    monkeypatch.setattr(os, "link", no_link)
+    assert q.mark_done("u0", {"who": "winner"}) is True
+    # duplicate completion loses AND must not overwrite the winner's bytes
+    assert q.mark_done("u0", {"who": "late"}) is False
+    assert q.results()["u0"] == {"who": "winner"}
+    assert os.path.exists(os.path.join(str(tmp_path), "done", "u0.json.lock")) or \
+        any(f.endswith(".lock") for root, _, fs in os.walk(str(tmp_path)) for f in fs)
+
+
+def test_mark_done_no_hardlink_crash_recovery(tmp_path, monkeypatch):
+    """A winner that died between lock and rename must not wedge the unit:
+    the next completer publishes its (complete) result but still returns
+    False (the single-True contract)."""
+    q = WorkQueue.create_or_open(str(tmp_path), _jobs(1))
+
+    def no_link(src, dst):
+        raise OSError("no hardlinks here")
+
+    monkeypatch.setattr(os, "link", no_link)
+    # simulate the orphaned lock: find the done path via a normal completion
+    # on a scratch queue
+    path = q._done_path("u0")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd = os.open(path + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    assert not os.path.exists(path)
+    assert q.mark_done("u0", {"who": "recoverer"}) is False
+    assert q.results()["u0"] == {"who": "recoverer"}
+    assert q.all_done()
+
+
+def test_queued_sweep_device_gop(tmp_path, tiny_pipeline):
+    """Queue workers can run the device-resident latency path
+    (device_gop=True, VERDICT r4 item 7): the drained sweep must produce the
+    SAME RD points as the host-loop queue run — DeviceGOPRunner walks
+    run_gop's trajectory bit-exactly."""
+    from tvc.pipeline.driver import run_sweep_queued
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    rng = np.random.RandomState(2)
+    data = rng.rand(1, 6, cfg.data.image_size, cfg.data.image_size, 3).astype(np.float32)
+    kw = dict(
+        start_idx=0, end_idx=0, qualities=[4], thresholds=[0.9, 0.5],
+        with_fvd=False, lpips_metric=lp,
+    )
+    n = run_sweep_queued(cfg, data, {4: coder}, predictor,
+                         output_path=str(tmp_path / "out_dev"),
+                         queue_dir=str(tmp_path / "q_dev"),
+                         device_gop=True, **kw)
+    assert n == 1
+    run_sweep_queued(cfg, data, {4: coder}, predictor,
+                     output_path=str(tmp_path / "out_host"),
+                     queue_dir=str(tmp_path / "q_host"), **kw)
+    pts_dev = json.load(open(tmp_path / "out_dev" / "output_0" / "points.json"))
+    pts_host = json.load(open(tmp_path / "out_host" / "output_0" / "points.json"))
+    assert pts_dev == pts_host

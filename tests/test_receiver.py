@@ -45,3 +45,26 @@ def test_receiver_all_fallback(tiny_pipeline):
     rec = run_gop_receiver(cfg, gop.accepts, gop.containers, coder, predictor,
                            key, num_frames_total=6)
     np.testing.assert_array_equal(rec, gop.x_ge[0])
+
+
+@pytest.mark.parametrize(
+    "threshold",
+    [1e9, -1.0, pytest.param(0.5, marks=pytest.mark.slow)],
+)
+def test_receiver_matches_device_gop_runner(tiny_pipeline, threshold):
+    """The production latency path (DeviceGOPRunner) is transmissible: its
+    keep_streams containers + accepts + seed reconstruct BYTE-identically
+    through the standard receiver, because sender prediction runs the SAME
+    jitted sampler executable the receiver runs (VERDICT r4 item 1)."""
+    from tvc.pipeline.sender import DeviceGOPRunner
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    video = RNG.rand(12, 64, 64, 3).astype(np.float32)
+    key = jax.random.PRNGKey(13)
+    runner = DeviceGOPRunner(cfg, predictor, lpips=lp, num_frames_total=8)
+    gop = runner.run(coder, video, key, threshold, patch=64, keep_streams=True)
+    assert gop.containers is not None and gop.accepts is not None
+
+    rec = run_gop_receiver(cfg, gop.accepts, gop.containers, coder, predictor,
+                           key, num_frames_total=8)
+    np.testing.assert_array_equal(rec, gop.x_ge[0])

@@ -253,3 +253,101 @@ def test_harness_on_synthetic_codec_checkpoint(tmp_path):
     assert r["status"] == "pass", r["detail"]
     assert "byte-identical" in r["detail"]
     assert r["metrics"]["q0_bpp"] > 0
+
+
+def test_judge_rd_point_pass_and_fail():
+    """check_rd_point's numeric criterion (VERDICT r4 item 4): a healthy
+    point passes; bpp out of walk range, weak PSNR, or bad LPIPS each fail."""
+    ok, d = V.judge_rd_point(bpp=0.06, psnr=23.7, lpips=0.12)
+    assert ok, d
+    # single-video noise within 2 sigma still passes
+    ok, _ = V.judge_rd_point(bpp=0.25, psnr=19.0, lpips=0.17)
+    assert ok
+    # bpp outside the walk's own operating range (reference breaks at 1.0)
+    ok, d = V.judge_rd_point(bpp=1.3, psnr=30.0, lpips=0.05)
+    assert not ok and "bpp" in d
+    ok, d = V.judge_rd_point(bpp=0.0, psnr=30.0, lpips=0.05)
+    assert not ok
+    # quality regressions beyond 2 sigma fail
+    ok, d = V.judge_rd_point(bpp=0.06, psnr=18.0, lpips=0.12)
+    assert not ok and "PSNR" in d
+    ok, d = V.judge_rd_point(bpp=0.06, psnr=23.7, lpips=0.20)
+    assert not ok and "LPIPS" in d
+
+
+def test_judge_bpp_monotone_pass_and_fail():
+    ok, _ = V.judge_bpp_monotone([0.1, 0.2, 0.3, 0.6, 1.1, 2.0])
+    assert ok
+    # adjacent noise within the 0.8 slack passes
+    ok, _ = V.judge_bpp_monotone([0.10, 0.09, 0.12])
+    assert ok
+    # swapped checkpoint order (q5 first) FAILS
+    ok, d = V.judge_bpp_monotone([2.0, 0.1, 0.2])
+    assert not ok and "codec-ckpts" in d
+    ok, _ = V.judge_bpp_monotone([0.3])
+    assert ok  # single point: nothing to judge
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/models"),
+                    reason="reference tree not mounted")
+def test_bf16_drift_uncalibrated_is_skip(tmp_path):
+    """Without a calibrated LPIPS the bf16 check judges nothing: it must
+    report skip (informational), never pass (VERDICT r4 weak item 5)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    from models.better.ncsnpp_more import UNetMore_DDPM as RefWrap
+
+    cfg = _tiny_cfg()
+    cfg.model.num_classes = 10
+    cfg.sampling.subsample = 3
+    m = RefWrap(V.ref_namespace(cfg)).eval()
+    g = torch.Generator().manual_seed(6)
+    sd = {k: torch.randn(v.shape, generator=g) * 0.08
+          if v.is_floating_point() else v for k, v in m.state_dict().items()}
+    ema_sd = {k: v.clone() for k, v in sd.items()}
+    pt = tmp_path / "ckpt.pt"
+    torch.save([{"module." + k: v for k, v in sd.items()}, {"step": 1}, ema_sd], pt)
+
+    r = V.check_bf16_drift(str(pt), cfg=cfg, lpips_metric=None)
+    assert r["status"] == "skip", r
+    assert "informational" in r["detail"]
+    assert np.isfinite(r["metrics"]["endpoint_mean_abs_drift"])
+
+
+REF_LIN_VGG = "/root/reference/weights/v0.1/vgg.pth"
+REF_LIN_SQUEEZE = "/root/reference/weights/v0.1/squeeze.pth"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LIN_VGG),
+                    reason="reference vgg LPIPS heads not mounted")
+def test_lpips_vgg_heads_check_runs_on_real_artifact():
+    """The reference also ships vgg linear heads (weights/v0.1/vgg.pth,
+    models/dist_model.py model_path default) — all 5 convert bit-exactly
+    (VERDICT r4 item 3b)."""
+    r = V.check_lpips(None, REF_LIN_VGG, net_type="vgg")
+    assert r["status"] == "pass", r["detail"]
+    assert r["name"] == "lpips-vgg"
+    assert r["metrics"]["lin_heads"] == 5
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LIN_SQUEEZE),
+                    reason="reference squeeze LPIPS heads not mounted")
+def test_lpips_squeeze_heads_check_runs_on_real_artifact():
+    """squeeze ships SEVEN heads (lin0..lin6) — the check derives the count
+    from the architecture and validates all of them bit-exactly."""
+    r = V.check_lpips(None, REF_LIN_SQUEEZE, net_type="squeeze")
+    assert r["status"] == "pass", r["detail"]
+    assert r["metrics"]["lin_heads"] == 7
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LIN_VGG),
+                    reason="reference vgg LPIPS heads not mounted")
+def test_lpips_head_count_mismatch_fails():
+    """Feeding the 5-head vgg file to the 7-head squeeze architecture must
+    FAIL (missing heads), not silently pass on a prefix."""
+    r = V.check_lpips(None, REF_LIN_VGG, net_type="squeeze")
+    assert r["status"] == "fail"
+    assert "lin5" in r["detail"]

@@ -72,10 +72,12 @@ def cmd_sweep(argv: List[str]) -> int:
                     help="run all (video,q,rho) jobs as lockstep-batched GOP "
                          "chains with this batch size (0 = sequential)")
     ap.add_argument("--device-gop", action="store_true",
-                    help="device-resident GOP loop (DeviceGOPRunner): one "
-                         "program per predict cycle with in-program scoring, "
-                         "predictions stay on device, exact transmissible "
-                         "keyframe streams. Sequential mode only")
+                    help="device-resident GOP loop (DeviceGOPRunner): "
+                         "predictions stay on device (same sampler executable "
+                         "a receiver runs — byte-exact transmissible), one "
+                         "scalar fetch per predict cycle, exact keyframe "
+                         "streams. Works sequentially or with --queue-dir "
+                         "workers; not with --batched")
     ap.add_argument("--fused-gop", action="store_true",
                     help="whole-GOP-on-device: each GOP (sampling, LPIPS "
                          "decisions, fallback keyframes) runs as ONE XLA "
@@ -109,9 +111,9 @@ def cmd_sweep(argv: List[str]) -> int:
         print("[tvc] --fused-gop is sequential-mode only and uses the device "
               "codec; drop --batched/--queue-dir")
         return 2
-    if args.device_gop and (args.batched or args.queue_dir):
-        print("[tvc] --device-gop is sequential-mode only; drop "
-              "--batched/--queue-dir")
+    if args.device_gop and args.batched:
+        print("[tvc] --device-gop runs GOP chains one at a time (sequential "
+              "or --queue-dir workers); drop --batched")
         return 2
 
     cfg = _load_cfg(args)
@@ -193,6 +195,7 @@ def cmd_sweep(argv: List[str]) -> int:
             with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
             stale_after=args.queue_stale_after, provenance=provenance,
+            device_gop=args.device_gop,
         )
         print(f"[queue] this process completed {n} work units")
     elif args.batched > 0:
@@ -418,6 +421,10 @@ def cmd_validate(argv: List[str]) -> int:
                     help="torchvision alexnet state dict")
     ap.add_argument("--lpips-lin", type=str, default=None,
                     help="LPIPS linear heads (reference weights/v0.1/alex.pth)")
+    ap.add_argument("--lpips-lin-vgg", type=str, default=None,
+                    help="LPIPS vgg linear heads (weights/v0.1/vgg.pth)")
+    ap.add_argument("--lpips-lin-squeeze", type=str, default=None,
+                    help="LPIPS squeeze linear heads (weights/v0.1/squeeze.pth)")
     ap.add_argument("--data", type=str, default=None, help="city_bonn.npy")
     ap.add_argument("--reference", type=str, default="/root/reference",
                     help="reference repo for torch-module parity oracles")
@@ -432,7 +439,9 @@ def cmd_validate(argv: List[str]) -> int:
         ckpt=args.ckpt, codec_ckpts=args.codec_ckpts, i3d=args.i3d,
         lpips_alex=args.lpips_alex, lpips_lin=args.lpips_lin,
         data_npy=args.data, reference=args.reference,
-        with_bf16=not args.no_bf16, with_rd=not args.no_rd)
+        with_bf16=not args.no_bf16, with_rd=not args.no_rd,
+        lpips_lin_vgg=args.lpips_lin_vgg,
+        lpips_lin_squeeze=args.lpips_lin_squeeze)
     return report(results, args.report)
 
 
@@ -470,6 +479,13 @@ def cmd_gop(argv: List[str]) -> int:
     ap.add_argument("--lpips-lin", type=str, default=None)
     ap.add_argument("--output-npy", type=str, default=None,
                     help="write the (sender's or receiver's) reconstruction")
+    ap.add_argument("--device-gop", action="store_true",
+                    help="send mode: encode through the device-resident "
+                         "production latency path (DeviceGOPRunner) — same "
+                         "transmissible payload and byte-identical receiver "
+                         "reconstruction (prediction runs the same jitted "
+                         "sampler executable the receiver runs), one scalar "
+                         "fetch per predict cycle")
     ap.add_argument("--allow-uncalibrated", action="store_true",
                     help="send mode: allow accept decisions with random LPIPS "
                          "features (no --lpips-alex/--lpips-lin); stamped "
@@ -506,7 +522,7 @@ def cmd_gop(argv: List[str]) -> int:
 
     if args.mode == "send":
         from tvc.metrics.lpips import LPIPSMetric
-        from tvc.pipeline.sender import Sender, run_gop
+        from tvc.pipeline.sender import DeviceGOPRunner, Sender, run_gop
 
         lp = LPIPSMetric.create(args.lpips_alex, args.lpips_lin)
         if not lp.calibrated and not args.allow_uncalibrated:
@@ -514,11 +530,17 @@ def cmd_gop(argv: List[str]) -> int:
                   "use random features. Pass --lpips-alex/--lpips-lin or "
                   "--allow-uncalibrated.", file=sys.stderr)
             return 2
-        sender = Sender(threshold=args.threshold, cfg=cfg, predictor=predictor,
-                        lpips=lp)
         key = jax.random.PRNGKey(cfg.seed)
-        gop = run_gop(sender, coder, video, key, T, cfg.codec.patch,
-                      keep_streams=True)
+        if args.device_gop:
+            runner = DeviceGOPRunner(cfg, predictor, lpips=lp,
+                                     num_frames_total=T)
+            gop = runner.run(coder, video, key, args.threshold,
+                             patch=cfg.codec.patch, keep_streams=True)
+        else:
+            sender = Sender(threshold=args.threshold, cfg=cfg,
+                            predictor=predictor, lpips=lp)
+            gop = run_gop(sender, coder, video, key, T, cfg.codec.patch,
+                          keep_streams=True)
         payload = {
             "seed": np.int64(cfg.seed),
             "num_frames_total": np.int64(T),

@@ -92,8 +92,11 @@ class LPIPS(nn.Module):
 
         total = None
         for k, (a, b) in enumerate(zip(f0, f1)):
-            a = a / jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
+            # normalize_tensor semantics of the reference / pip lpips
+            # (models/eval_models.py:35-37): eps OUTSIDE the sqrt,
+            # x / (||x||_2 + 1e-10) — not sqrt(sum + eps)
+            a = a / (jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)) + 1e-10)
             diff = (a - b) ** 2
             w = self.param(f"lin{k}", nn.initializers.constant(0.1), (1, 1, taps[k], 1))
             d = jax.lax.conv_general_dilated(

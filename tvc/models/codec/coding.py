@@ -387,7 +387,11 @@ class ELICCoder:
             t_zw = time.time()
             z_strings = z_fut.result()
             t_zwait = time.time() - t_zw
-        t_params = time.time() - t0 - t_zwait
+        # phase attribution: the synthesis dispatch elapses inside the
+        # t0 window but is reported under y_dec — subtract it (like
+        # t_zwait) so the phase dict sums to the measured wall
+        t_params = time.time() - t0 - t_zwait - \
+            (t_syn_dispatch if return_recon else 0.0)
 
         out = {
             "strings": [y_strings, z_strings],

@@ -178,25 +178,28 @@ class WorkQueue:
         except FileExistsError:
             return False
         except OSError:
-            # Filesystems without hardlinks (rare; some FUSE mounts): publish
-            # by atomic RENAME first — readers (results()/all_done/the merge
-            # winner) only ever see a complete file, and a crash can never
-            # leave the unit unpublished (rename-then-lock, not
-            # lock-then-rename: a lock orphaned by a crash would wedge the
-            # unit forever, since done never appears and every later
-            # completer loses the lock race). The O_EXCL sidecar then
-            # arbitrates the single True return; concurrent renames are
-            # last-writer-wins on the (complete) result file, a documented
-            # deviation from the hardlink path's first-writer-wins that only
-            # matters when a stolen unit finishes twice on such a filesystem.
-            os.rename(tmp, path)  # atomic; tmp is complete+fsynced
+            # Filesystems without hardlinks (rare; some FUSE mounts):
+            # lock-FIRST, then rename — the O_EXCL .lock sidecar arbitrates
+            # the single True return, and the winner renames its complete
+            # fsynced tmp immediately after taking it, so the bytes that
+            # persist are the True-returner's. A loser normally discards its
+            # tmp; the one exception is crash recovery — if the lock exists
+            # but `done` never appeared (winner died between lock and
+            # rename), the loser publishes its own complete result so the
+            # unit can never wedge (both results are valid completions of
+            # the same unit; the loser still returns False). The .lock
+            # sidecar is never removed: it IS the persistent single-winner
+            # record, reclaimed only with the queue directory itself.
             lock = f"{path}.lock"
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                won = True
             except FileExistsError:
-                return False
-            os.close(fd)
-            return True
+                won = False
+            if won or not os.path.exists(path):
+                os.rename(tmp, path)  # atomic; tmp is complete+fsynced
+            return won
         finally:
             try:
                 os.unlink(tmp)

@@ -267,6 +267,7 @@ def run_sweep_queued(
     owner: Optional[str] = None,
     stale_after: float = 900.0,
     provenance: Optional[dict] = None,
+    device_gop: bool = False,
 ) -> int:
     """Dynamic multi-host sweep: pull (video, quality) work units from a
     shared-filesystem WorkQueue instead of static partitioning.
@@ -276,6 +277,12 @@ def run_sweep_queued(
     drains; a host that dies mid-unit loses its claim after `stale_after`
     seconds and the unit is re-run elsewhere (tvc/parallel/queue.py). Exactly
     one process performs the final per-video merge + RD persistence.
+
+    device_gop=True runs each unit's GOP chains through a per-process
+    DeviceGOPRunner (the production latency path: device-resident
+    predictions, one scalar fetch per cycle, exact transmissible keyframe
+    streams) — a multi-host sweep then gets the latency path's economics
+    (VERDICT r4 item 7).
 
     Returns the number of units this process completed."""
     import socket
@@ -293,6 +300,13 @@ def run_sweep_queued(
     lpips_metric = lpips_metric or LPIPSMetric.create()
     if with_fvd and fvd_metric is None:
         fvd_metric = FVDMetric()
+    device_runner = None
+    if device_gop:
+        from tvc.pipeline.sender import DeviceGOPRunner
+
+        device_runner = DeviceGOPRunner(
+            cfg, predictor, lpips=lpips_metric,
+            num_frames_total=min(30, data.shape[1]))
 
     def run_unit(job):
         vid, q = job["video"], job["quality"]
@@ -316,7 +330,7 @@ def run_sweep_queued(
                 qualities=[q], thresholds=thresholds,
                 key=jax.random.PRNGKey(cfg.seed + vid),
                 num_frames_total=min(30, data[vid].shape[0]),
-                verbose=False,
+                verbose=False, device_runner=device_runner,
             )
         finally:
             stop.set()

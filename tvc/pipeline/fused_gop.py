@@ -186,7 +186,17 @@ class FusedGOPSender:
         self._gop_raw = gop
         self._gop = jax.jit(gop)
         self._gop_batched = jax.jit(jax.vmap(gop, in_axes=(None, None, None, 0, 0, 0, 0)))
-        self._sharded_cache = {}
+        # run_sharded caches. Entries hold STRONG references to their source
+        # objects and are matched by identity (`is`), never by id() ints: an
+        # id() key without a live reference can alias a new object allocated
+        # at a dead one's address and silently reuse stale replicated
+        # weights or a shape-locked executable (VERDICT r4 / ADVICE r4).
+        self._mesh_entries: list = []    # [mesh, sharded_jit]
+        self._param_entries: list = []   # [mesh, pv, cv, lv, replicated_tuple]
+        self._compiled_entries: list = []  # [param_entry, B, executable]
+        # stable sentinel for "no LPIPS": a fresh {} per call would make
+        # every identity lookup miss and re-replicate + recompile each call
+        self._empty_lp: dict = {}
         self._pad = pad
         self._max_updates = max_updates
 
@@ -238,6 +248,26 @@ class FusedGOPSender:
             self.lpips.params if self.lpips is not None else {},
             v, keys, jnp.asarray(thresholds, jnp.float32), jnp.asarray(forced))
 
+    def _replicated_params(self, mesh, pv, cv, lv, repl):
+        """Identity-keyed replicated-params cache (strong refs, see
+        __post_init__). Returns (entry index, replicated (pv, cv, lv),
+        entry)."""
+        pe = next((e for e in self._param_entries
+                   if e[0] is mesh and e[1] is pv and e[2] is cv
+                   and e[3] is lv), None)
+        if pe is None:
+            def _rep(a):
+                a = np.asarray(a)
+                return jax.make_array_from_callback(
+                    a.shape, repl, lambda idx, _a=a: _a[idx])
+
+            pe = [mesh, pv, cv, lv,
+                  jax.tree_util.tree_map(_rep, (pv, cv, lv))]
+            self._param_entries.append(pe)
+        # index by identity (list.index would __eq__-compare array leaves)
+        pidx = next(i for i, e in enumerate(self._param_entries) if e is pe)
+        return pidx, pe[4], pe
+
     def run_sharded(self, mesh, videos: np.ndarray, keys: jax.Array,
                     thresholds: np.ndarray) -> Dict[str, Any]:
         """Mesh-sharded whole-GOP encode: the chain batch is sharded over the
@@ -254,15 +284,17 @@ class FusedGOPSender:
         process_allgather` (or read addressable shards) to fetch."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        key = ("sharded", id(mesh))
-        if key not in self._sharded_cache:
+        entry = next((e for e in self._mesh_entries if e[0] is mesh), None)
+        if entry is None:
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
-            self._sharded_cache[key] = jax.jit(
+            entry = [mesh, jax.jit(
                 jax.vmap(self._gop_raw, in_axes=(None, None, None, 0, 0, 0, 0)),
                 in_shardings=(repl, repl, repl, data, data, data, data),
                 out_shardings=data,
-            )
+            )]
+            self._mesh_entries.append(entry)
+        sharded_fn = entry[1]
         B = videos.shape[0]
         dp = mesh.shape["data"]
         forced = jnp.full((B, self._max_updates), -1, jnp.int32)
@@ -270,7 +302,7 @@ class FusedGOPSender:
         thr = jnp.asarray(thresholds, jnp.float32)
         pv = self.predictor.variables
         cv = self.coder.variables
-        lv = self.lpips.params if self.lpips is not None else {}
+        lv = self.lpips.params if self.lpips is not None else self._empty_lp
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -288,20 +320,14 @@ class FusedGOPSender:
             # array communication-free — every process supplies its own
             # (identical, by the deterministic-weights contract) copy.
             repl = jax.sharding.NamedSharding(mesh, P())
-            # cache keys include the param-tree identities and the batch
-            # shape: swapping variables (run() supports per-call coder
-            # weights) or changing B must not reuse a stale replicated copy
-            # or a shape-locked executable
-            mkey = ("global_params", id(mesh), id(pv), id(cv), id(lv))
-            if mkey not in self._sharded_cache:
-                def _rep(a):
-                    a = np.asarray(a)
-                    return jax.make_array_from_callback(
-                        a.shape, repl, lambda idx, _a=a: _a[idx])
-
-                self._sharded_cache[mkey] = jax.tree_util.tree_map(
-                    _rep, (pv, cv, lv))
-            pv, cv, lv = self._sharded_cache[mkey]
+            # Cache entries match the mesh + all three param trees BY
+            # IDENTITY while holding strong references to them (swapping
+            # variables — run() supports per-call coder weights — or
+            # changing B must not reuse a stale replicated copy or a
+            # shape-locked executable; the strong refs make id recycling
+            # impossible).
+            pidx, (pv, cv, lv), pe = self._replicated_params(
+                mesh, pv, cv, lv, repl)
             # The vmapped while_loop's termination test reduces over the
             # SHARDED chain axis, so the compiled program carries a
             # cross-process collective every iteration — execution must be
@@ -310,23 +336,27 @@ class FusedGOPSender:
             # Gloo-based sync here would itself die on compile skew), then
             # run: the first in-program collective sees both processes
             # present and the Gloo context initializes cleanly.
-            ckey = ("sharded_compiled", id(mesh), mkey, B)
-            if ckey not in self._sharded_cache:
-                lowered = self._sharded_cache[key].lower(
-                    pv, cv, lv, v, keys, thr, forced)
-                self._sharded_cache[ckey] = lowered.compile()
+            ce = next((c for c in self._compiled_entries
+                       if c[0] is pe and c[1] == B), None)
+            if ce is None:
+                lowered = sharded_fn.lower(pv, cv, lv, v, keys, thr, forced)
+                ce = [pe, B, lowered.compile()]
+                self._compiled_entries.append(ce)
                 try:
                     from jax._src import distributed
 
                     client = distributed.global_state.client
                     if client is not None:
-                        self._barrier_n = getattr(self, "_barrier_n", 0) + 1
+                        # barrier names derive from (param-entry index, B):
+                        # deterministic across processes following the same
+                        # call sequence (a counter would desync on any
+                        # hit/miss divergence and hang both ends)
                         client.wait_at_barrier(
-                            f"tvc_run_sharded_compiled_{self._barrier_n}",
+                            f"tvc_run_sharded_compiled_p{pidx}_b{B}",
                             600_000)
                 except ImportError:  # pragma: no cover - private-API fallback
                     pass
-            return self._sharded_cache[ckey](pv, cv, lv, v, keys, thr, forced)
+            return ce[2](pv, cv, lv, v, keys, thr, forced)
         else:
             assert B % dp == 0, f"batch {B} not divisible by data axis {dp}"
-        return self._sharded_cache[key](pv, cv, lv, v, keys, thr, forced)
+        return sharded_fn(pv, cv, lv, v, keys, thr, forced)

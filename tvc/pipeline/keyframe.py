@@ -65,10 +65,12 @@ def code_frames(coder: ELICCoder, frames: np.ndarray, patch: int = 64,
 
 
 def code_frames_device(coder: ELICCoder, frames: np.ndarray, patch: int = 64,
-                       exact: bool = True):
+                       exact: bool = True, return_enc: bool = False):
     """`code_frames` variant that keeps the reconstruction ON DEVICE.
 
-    Returns (x_hat device array (T,H,W,3), per-frame bit counts). The
+    Returns (x_hat device array (T,H,W,3), per-frame bit counts) — plus the
+    raw encoder output dict when return_enc=True (so the device GOP loop can
+    serialize the TVC1 container of what actually crossed the channel). The
     device-resident GOP loop (tvc/pipeline/sender.py DeviceGOPRunner) feeds
     the reconstruction straight into the next predict cycle's conditioning,
     so fetching it to the host (a blocking tunnel RTT) would be pure
@@ -80,4 +82,7 @@ def code_frames_device(coder: ELICCoder, frames: np.ndarray, patch: int = 64,
     x, (pad_b, pad_r) = pad_to_multiple(frames, patch)
     enc = coder.compress(x, return_recon=True, exact=exact, recon_device=True)
     x_hat = jnp.asarray(enc["x_hat"])[:, : x.shape[1] - pad_b, : x.shape[2] - pad_r, :]
-    return x_hat, per_frame_bits(enc["strings"], t)
+    bits = per_frame_bits(enc["strings"], t)
+    if return_enc:
+        return x_hat, bits, enc
+    return x_hat, bits

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -277,23 +278,33 @@ class DeviceGOPRunner:
     (all-numpy state, several host round-trips per cycle) and the fully
     fused `FusedGOPSender` (one program, but simulation-codec bits only).
 
-    Per predict cycle exactly ONE value crosses to the host: the 5 metric
-    scores (floats). Sampling, conditioning assembly, and scoring compile
-    into a single program; predicted frames stay on the device and feed the
-    next cycle's conditioning directly. Keyframes still go through the real
-    host rANS codec (exact transmissible streams), but their reconstruction
-    also STAYS on device (code_frames_device): the synthesis g_s output is
-    dispatched asynchronously and consumed as the next cycle's conditioning
-    without ever visiting the host — only the per-frame bit counts (host
-    rANS byproduct) and the per-cycle scores cross, and the assembled x_ge
-    is fetched ONCE at the end of the GOP. On a tunneled backend (~30 ms
-    RTT) this removes ~2 RTTs per keyframe event + ~1 RTT per chunk at
-    assembly; on a local host it removes the same dispatch+copy overheads
-    at smaller scale.
+    TRANSMISSIBILITY BY SHARED EXECUTABLES (VERDICT r4 item 1): prediction
+    runs through `predictor.generate` — the SAME standalone jitted sampler
+    program the receiver (tvc/pipeline/receiver.py) and the host loop
+    (Sender.update) run — so given the same key schedule, sender and
+    receiver predictions are BIT-identical even across processes. Scoring
+    is a separate small program (the shared LPIPSMetric executable, the one
+    run_gop's decide() calls), so in LPIPS mode the runner walks run_gop's
+    trajectory bit-exactly. An earlier design traced the sampler inside one
+    big fused cycle program; that compiled a DIFFERENT sampler executable
+    than the receiver's (ulp drift, parity only ~2e-3) — the same
+    program-scope landmine that broke the round-3 fused codec encoder.
+
+    Per predict cycle exactly ONE value crosses to the host: the metric
+    scores (floats). Predicted frames stay on device and feed the next
+    cycle's conditioning directly. Keyframes go through the real host rANS
+    codec (exact transmissible streams) with reconstructions staying on
+    device (code_frames_device): the synthesis g_s output is dispatched
+    asynchronously and consumed as the next cycle's conditioning without
+    visiting the host — only per-frame bit counts and per-cycle scores
+    cross, and the assembled x_ge is fetched ONCE at the end (each chunk's
+    device->host copy starts asynchronously the moment the chunk is final).
+    With keep_streams=True each keyframe coding event is also serialized
+    into a TVC1 container — `tvc gop send --device-gop` emits the
+    transmissible payload from this fast path.
 
     The PRNG key-split order mirrors `run_gop` exactly, so the same key
-    walks the same trajectory (modulo ulp differences between the fused
-    score program and the standalone LPIPS jit)."""
+    walks the same trajectory."""
 
     def __init__(self, cfg: Config, predictor: FramePredictor,
                  lpips: Optional[LPIPSMetric] = None, use_psnr: bool = False,
@@ -303,54 +314,37 @@ class DeviceGOPRunner:
         self.lpips = lpips
         self.use_psnr = use_psnr
         self.T = num_frames_total
-        nc = cfg.data.num_frames_cond
-        n_pred = cfg.data.num_frames
-        sample_fn = predictor.sample_fn
-        lp_model = lpips.model if lpips is not None else None
-        dtype = predictor.dtype
+        if use_psnr:
+            from tvc.metrics.pixel import psnr_jax
 
-        def cycle(variables, lp, key, cond2, gt_padded, count):
-            """cond2: (1,nc,H,W,C); gt_padded: (1,T+n_pred,H,W,C); count:
-            scalar index of the first frame to predict."""
-            _, nc_, h, w, c = cond2.shape
-            cond = jnp.transpose(cond2, (0, 2, 3, 1, 4)).reshape(1, h, w, nc_ * c)
-            from tvc.pipeline.transforms import data_transform, inverse_data_transform
-
-            cond = data_transform(cfg, cond.astype(dtype))
-            knoise, ksamp = jax.random.split(key)
-            x_init = jax.random.normal(knoise, (1, h, w, c * n_pred), dtype)
-            out = sample_fn(variables, ksamp, x_init, cond)[-1]
-            out = inverse_data_transform(cfg, out.astype(jnp.float32))
-            pred = out.reshape(1, h, w, n_pred, c).transpose(0, 3, 1, 2, 4)
-            gt5 = jax.lax.dynamic_slice(
-                gt_padded, (0, count, 0, 0, 0), (1, n_pred, h, w, c))
-            if use_psnr:
-                from tvc.metrics.pixel import psnr_jax
-
-                scores = psnr_jax(pred[0], gt5[0], axis=(1, 2, 3))
-            else:
-                scores = lp_model.apply({"params": lp}, pred[0], gt5[0])
-            return pred, scores
-
-        self._cycle = jax.jit(cycle)
+            self._psnr = jax.jit(partial(psnr_jax, axis=(1, 2, 3)))
 
     def run(self, coder, video_gt: np.ndarray, key: jax.Array, threshold: float,
             patch: int = 64,
             forced_accepts: Optional[Sequence[int]] = None,
-            timings: Optional[dict] = None) -> GOPResult:
+            timings: Optional[dict] = None,
+            keep_streams: bool = False) -> GOPResult:
         """Encode one GOP; semantics of `run_gop` (exact transmissible
         keyframes). forced_accepts overrides the metric decision per update
         (-1 entries fall back to the metric) — deterministic worst-case
         benchmarking. timings (optional dict) collects a per-phase wall
         breakdown: 'cycle_fetch' (dispatch->scores), 'keyframes' (per
-        coding event), 'assemble' (final single x_ge fetch)."""
+        coding event), 'assemble' (final single x_ge fetch).
+        keep_streams=True serializes each keyframe coding event into a TVC1
+        container (requires the exact-streams codec path)."""
         t0 = time.time()
         cfg = self.cfg
         T = self.T
         nc = cfg.data.num_frames_cond
         n_pred = cfg.data.num_frames
         h, w = video_gt.shape[1], video_gt.shape[2]
+        c = video_gt.shape[3]
         exact = cfg.codec.exact_streams
+        if keep_streams:
+            assert exact, ("keep_streams requires codec.exact_streams — "
+                           "simulation streams are not receiver-decodable")
+            from tvc.models.codec import container as _container
+        containers: Optional[List[bytes]] = [] if keep_streams else None
         if video_gt.dtype == np.uint8:
             # uint8 transport: the ground truth rides the (bandwidth-limited
             # on tunneled backends) host->device link at 1/4 the bytes and is
@@ -369,34 +363,34 @@ class DeviceGOPRunner:
                 return video_f32[a:b]
             return video_gt[a:b].astype(np.float32) / 255.0
 
-        # keyframe reconstructions stay ON DEVICE (code_frames_device): the
-        # next cycle consumes them as conditioning directly, so the old
-        # fetch-to-numpy + re-upload cost (2 tunnel RTTs per keyframe event)
-        # is off the critical path; the host only ever sees the final
-        # assembled x_ge — each chunk's device->host copy starts
-        # asynchronously the moment the chunk is final, hiding the transfer
-        # behind the remaining sampler sweeps.
+        def code(a, b):
+            """Encode gt frames [a:b); recon stays on device; container
+            captured when keep_streams."""
+            t_kf = time.time()
+            dec, bts, enc = code_frames_device(
+                coder, gt_slice(a, b), patch, exact=exact, return_enc=True)
+            if keep_streams:
+                containers.append(_container.serialize(
+                    enc, entropy_backend=cfg.codec.entropy_backend))
+            if timings is not None:
+                timings.setdefault("keyframes", []).append(time.time() - t_kf)
+            return dec, bts
+
         # (The initial keyframes are dispatched BEFORE the big gt upload so
         # their small transfers don't queue behind it.)
-        t_kf0 = time.time()
-        dec0, bits0 = code_frames_device(coder, gt_slice(0, nc), patch, exact=exact)
-        if timings is not None:
-            timings.setdefault("keyframes", []).append(time.time() - t_kf0)
+        dec0, bits0 = code(0, nc)
         chunk0 = jnp.asarray(dec0, jnp.float32)[None]
 
-        # replicate-pad past T so the tail gt5 slice is static-shaped; the
-        # upload overlaps the first predict cycle's dispatch
-        gt = np.concatenate(
-            [video_gt[:T]] +
-            [np.repeat(video_gt[T - 1: T], n_pred, axis=0)], axis=0)
+        # ground truth on device for scoring; the upload overlaps the first
+        # predict cycle's dispatch
         if video_f32 is None:
-            gt_dev = jnp.asarray(gt[None]).astype(jnp.float32) / 255.0
+            gt_dev = jnp.asarray(video_gt[:T]).astype(jnp.float32) / 255.0
         else:
-            gt_dev = jnp.asarray(gt[None], jnp.float32)
+            gt_dev = jnp.asarray(video_f32[:T], jnp.float32)
 
-        def _start_copy(c):
+        def _start_copy(c_):
             try:
-                c.copy_to_host_async()
+                c_.copy_to_host_async()
             except (AttributeError, RuntimeError):  # backend without async copy
                 pass
 
@@ -407,33 +401,38 @@ class DeviceGOPRunner:
         bits_list: List[int] = list(bits0)
         count = nc
         accepts: List[int] = []
-        lp = self.lpips.params if self.lpips is not None else {}
 
         while count < T:
             key, sub = jax.random.split(key)
             t_cyc = time.time()
-            pred, scores = self._cycle(
-                self.predictor.variables, lp, sub, cond2, gt_dev, jnp.int32(count))
+            k = min(n_pred, T - count)
+            # SAME program chain as Sender.update / the receiver: eager
+            # frame-stacking transpose + predictor.generate (the shared
+            # sampler executable)
+            cond = jnp.transpose(cond2, (0, 2, 3, 1, 4)).reshape(1, h, w, nc * c)
+            pred = self.predictor.generate(sub, cond)  # (1, n_pred, H, W, C)
+            gt_k = gt_dev[count: count + k]
+            if self.use_psnr:
+                scores = self._psnr(pred[0, :k], gt_k)
+            else:
+                # the shared LPIPSMetric executable (same shapes as run_gop's
+                # decide(), including the k<n_pred tail trace)
+                scores = self.lpips(pred[0, :k], gt_k)
             s = np.asarray(scores)  # the cycle's single blocking fetch
             if timings is not None:
                 timings.setdefault("cycle_fetch", []).append(time.time() - t_cyc)
-            valid = (count + np.arange(n_pred)) < T
-            ok = ((s >= threshold) if self.use_psnr else (s <= threshold)) & valid
-            n_acc = int(np.argmin(ok)) if not ok.all() else n_pred
+            ok = (s >= threshold) if self.use_psnr else (s <= threshold)
+            n_acc = int(np.argmin(ok)) if not ok.all() else k
             if not ok[0]:
                 n_acc = 0
             u = len(accepts)
             if forced_accepts is not None and u < len(forced_accepts) \
                     and forced_accepts[u] >= 0:
-                n_acc = min(int(forced_accepts[u]), int(valid.sum()))
+                n_acc = min(int(forced_accepts[u]), k)
             accepts.append(n_acc)
 
             if n_acc == 0:
-                gt2 = gt_slice(count, count + nc)
-                t_kf = time.time()
-                dec, bts = code_frames_device(coder, gt2, patch, exact=exact)
-                if timings is not None:
-                    timings.setdefault("keyframes", []).append(time.time() - t_kf)
+                dec, bts = code(count, count + nc)
                 bits_list.extend(bts)
                 chunk = jnp.asarray(dec, jnp.float32)[None]
                 chunks.append(chunk)
@@ -457,11 +456,12 @@ class DeviceGOPRunner:
         # here just drains the last in-flight copy instead of paying the
         # full ~6 MB over the link at the end.
         t_asm = time.time()
-        x_ge = np.concatenate([np.asarray(c) for c in chunks], axis=1)[:, :T]
+        x_ge = np.concatenate([np.asarray(c_) for c_ in chunks], axis=1)[:, :T]
         if timings is not None:
             timings["assemble"] = time.time() - t_asm
         bits = int(sum(bits_list))
         return GOPResult(
             d=np.asarray(d, np.int64)[None][:, :T], x_ge=x_ge, bits=bits,
             bpp=bits / h / w / T, n_updates=len(accepts),
-            wall_time=time.time() - t0, accepts=accepts)
+            wall_time=time.time() - t0, accepts=accepts,
+            containers=containers)

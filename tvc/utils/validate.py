@@ -127,38 +127,56 @@ def _torch_alexnet_features(sd):
     return seq.eval()
 
 
-@_guard("lpips")
-def check_lpips(alex_pth: Optional[str], lin_pth: Optional[str]) -> Dict[str, Any]:
+def check_lpips(alex_pth: Optional[str], lin_pth: Optional[str],
+                net_type: str = "alex") -> Dict[str, Any]:
+    """LPIPS artifact check. net_type selects the backbone family
+    (alex|vgg|squeeze — the reference ships linear heads for all three at
+    weights/v0.1/{alex,vgg,squeeze}.pth, models/dist_model.py model_path
+    default); `alex_pth` is the matching torchvision backbone state dict
+    (backbone parity oracle currently implemented for alex)."""
+    name = "lpips" if net_type == "alex" else f"lpips-{net_type}"
+    return _guard(name)(_check_lpips_impl)(alex_pth, lin_pth, net_type, name)
+
+
+def _check_lpips_impl(alex_pth, lin_pth, net_type, name) -> Dict[str, Any]:
     if alex_pth is None and lin_pth is None:
-        return _result("lpips", "skip", "no --lpips-alex/--lpips-lin given")
+        return _result(name, "skip", "no --lpips-alex/--lpips-lin given")
     import torch
 
     import jax.numpy as jnp
 
     from tvc.metrics.lpips import LPIPSMetric, _SCALE, _SHIFT
 
-    metric = LPIPSMetric.create(alex_pth, lin_pth)
+    metric = LPIPSMetric.create(alex_pth, lin_pth, net_type=net_type)
     details: List[str] = []
     metrics: Dict[str, Any] = {}
+    n_heads = sum(1 for k in metric.params if k.startswith("lin"))
 
     lin_sd = torch.load(lin_pth, map_location="cpu") if lin_pth is not None else None
     if lin_sd is not None:
         # head conversion round trip vs the torch tensors (the heads are the
-        # learned part of net-lin; weights/v0.1/alex.pth ships with the
-        # reference)
+        # learned part of net-lin; weights/v0.1/{alex,vgg,squeeze}.pth ship
+        # with the reference) — every head the architecture defines must be
+        # present and bit-exact (5 for alex/vgg, 7 for squeeze)
         sd = lin_sd
         n = 0
-        for k in range(5):
+        for k in range(n_heads):
             key = f"lin{k}.model.1.weight"
             if key not in sd:
-                continue
+                return _result(name, "fail",
+                               f"head {key} missing from {lin_pth} "
+                               f"(architecture defines {n_heads} heads)")
             want = sd[key].numpy()  # (1, C, 1, 1)
             got = np.asarray(metric.params[f"lin{k}"])  # (1, 1, C, 1)
             np.testing.assert_array_equal(got.transpose(3, 2, 0, 1), want)
             n += 1
-        details.append(f"{n}/5 linear heads converted bit-exactly")
+        details.append(f"{n}/{n_heads} linear heads converted bit-exactly")
         metrics["lin_heads"] = n
 
+    if alex_pth is not None and net_type != "alex":
+        return _result(name, "fail",
+                       f"backbone parity oracle is implemented for alex only "
+                       f"(got net_type={net_type} with a backbone path)")
     if alex_pth is not None:
         # backbone parity vs a torch-built features trunk with the SAME
         # weights (no torchvision needed), then the full net-lin distance vs
@@ -185,8 +203,11 @@ def check_lpips(alex_pth: Optional[str], lin_pth: Optional[str]) -> Dict[str, An
             t1 = torch_taps(((torch.from_numpy(x1) - sh) / sc).numpy())
             want = torch.zeros(2)
             for k, (a, b) in enumerate(zip(t0, t1)):
-                a = a / (a.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
-                b = b / (b.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+                # reference normalize_tensor (models/eval_models.py:35-37):
+                # eps added OUTSIDE the sqrt — the oracle must match the
+                # reference exactly, not mirror the implementation under test
+                a = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                b = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
                 diff = (a - b) ** 2
                 if lin_sd is not None:
                     w = lin_sd[f"lin{k}.model.1.weight"].clamp(min=0)
@@ -202,14 +223,14 @@ def check_lpips(alex_pth: Optional[str], lin_pth: Optional[str]) -> Dict[str, An
         details.append(f"full net-lin distance parity max_rel={err:.2e}")
         metrics["netlin_max_rel"] = err
         if err > 1e-4:
-            return _result("lpips", "fail", "; ".join(details), **metrics)
+            return _result(name, "fail", "; ".join(details), **metrics)
     else:
         details.append("backbone skipped (no --lpips-alex; torchvision "
-                       "alexnet state dict required)")
+                       "backbone state dict required)")
 
     if not metric.calibrated:
         details.append("NOTE: metric remains uncalibrated without both files")
-    return _result("lpips", "pass", "; ".join(details), **metrics)
+    return _result(name, "pass", "; ".join(details), **metrics)
 
 
 # --------------------------------------------------------------------------
@@ -366,11 +387,26 @@ def check_codec_ckpts(paths: Optional[Sequence[str]],
     if not have_compressai:
         detail.append("torch TestModel parity skipped (compressai not importable)")
 
-    # bpp must be monotone in quality index (lambda 0.004 .. 0.45)
+    # bpp must be monotone in quality index (lambda 0.004 .. 0.45). A
+    # violation is a FAIL, not a warning: the dominant real-world cause is a
+    # swapped --codec-ckpts order (q5 first), which would silently corrupt
+    # every downstream RD sweep.
     bpps = [metrics[f"q{q}_bpp"] for q in range(len(paths))]
-    if len(bpps) > 1 and not all(b2 >= b1 * 0.8 for b1, b2 in zip(bpps, bpps[1:])):
-        detail.append(f"WARNING: bpp not quality-monotone: {bpps}")
+    ok_mono, mono_detail = judge_bpp_monotone(bpps)
+    detail.append(mono_detail)
+    if not ok_mono:
+        return _result("codec", "fail", "; ".join(detail), **metrics)
     return _result("codec", "pass", "; ".join(detail), **metrics)
+
+
+def judge_bpp_monotone(bpps: Sequence[float], slack: float = 0.8):
+    """bpp must rise with quality index (lambda 0.004..0.45, README.md:54-61);
+    `slack` tolerates per-image noise between adjacent lambdas. Returns
+    (ok, detail)."""
+    if len(bpps) > 1 and not all(b2 >= b1 * slack for b1, b2 in zip(bpps, bpps[1:])):
+        return False, (f"bpp NOT quality-monotone: {['%.4f' % b for b in bpps]}"
+                       " — check --codec-ckpts order (q0..q5)")
+    return True, "bpp quality-monotone"
 
 
 # --------------------------------------------------------------------------
@@ -449,15 +485,52 @@ def check_bf16_drift(ckpt: Optional[str], cfg=None,
         out["endpoint_lpips"] = d
         detail += f"; LPIPS(f32, bf16) = {d:.4f}"
         status = "pass" if d < 0.05 else "fail"
+    elif not np.isfinite(drift):
+        status = "fail"
     else:
-        status = "pass" if np.isfinite(drift) else "fail"
-        detail += " (informational: no calibrated LPIPS to judge against)"
+        # a finite drift with no calibrated LPIPS judges NOTHING — report
+        # skip (informational), not a pass that green-lights blindly
+        status = "skip"
+        detail += (" (informational only: no calibrated LPIPS to judge "
+                   "against — supply --lpips-alex/--lpips-lin)")
     return _result("bf16", status, detail, **out)
 
 
 # --------------------------------------------------------------------------
 # One real RD point vs the published envelope
 # --------------------------------------------------------------------------
+
+# Published Cityscapes envelope at bpp=0.06 (24-video mean ± std,
+# ret/readme.md common-response tables / BASELINE.md). The single-GOP check
+# uses published - 2*std (PSNR) / published + 2*std (LPIPS) as its bound: a
+# single video drawn from the same distribution clears a 2-sigma band with
+# ~97.7% probability, so a miss is a real quality regression signal, not
+# noise. bpp must land inside the threshold walk's own operating range
+# (0, 1.0) — the reference breaks a walk at bpp >= 1.0 (city_sender.py:561).
+RD_PUBLISHED = {"psnr_mean": 23.70, "psnr_std": 2.47,
+                "lpips_mean": 0.12, "lpips_std": 0.03}
+
+
+def judge_rd_point(bpp: float, psnr: float, lpips: float,
+                   published: Dict[str, float] = RD_PUBLISHED,
+                   n_sigma: float = 2.0, bpp_range=(0.0, 1.0)):
+    """Numeric pass/fail for one real-GOP RD point (VERDICT r4 item 4).
+    Returns (ok, detail)."""
+    problems = []
+    if not (bpp_range[0] < bpp < bpp_range[1]):
+        problems.append(f"bpp {bpp:.4f} outside walk range {bpp_range}")
+    psnr_min = published["psnr_mean"] - n_sigma * published["psnr_std"]
+    lpips_max = published["lpips_mean"] + n_sigma * published["lpips_std"]
+    if psnr < psnr_min:
+        problems.append(f"PSNR {psnr:.2f} < published-{n_sigma:g}sigma "
+                        f"bound {psnr_min:.2f}")
+    if lpips > lpips_max:
+        problems.append(f"LPIPS {lpips:.4f} > published+{n_sigma:g}sigma "
+                        f"bound {lpips_max:.4f}")
+    if problems:
+        return False, "; ".join(problems)
+    return True, (f"within bounds (PSNR>={psnr_min:.2f}, "
+                  f"LPIPS<={lpips_max:.4f}, bpp in {bpp_range})")
 
 
 @_guard("rd")
@@ -501,6 +574,7 @@ def check_rd_point(data_npy: Optional[str], ckpt: Optional[str],
 
     detail = []
     metrics: Dict[str, Any] = {}
+    ok_all = True
     for q in qualities:
         coder = ELICCoder(model, load_codec_checkpoint(codec_ckpts[q]))
         sender = Sender(threshold=threshold, cfg=cfg, predictor=predictor, lpips=lp)
@@ -511,12 +585,14 @@ def check_rd_point(data_npy: Optional[str], ckpt: Optional[str],
         metrics[f"q{q}_bpp"] = gop.bpp
         metrics[f"q{q}_psnr"] = ps
         metrics[f"q{q}_lpips"] = lp_mean
+        ok, judge_detail = judge_rd_point(gop.bpp, ps, lp_mean)
+        ok_all &= ok
         detail.append(f"q{q} rho={threshold}: bpp={gop.bpp:.4f} psnr={ps:.2f} "
-                      f"lpips={lp_mean:.4f}")
+                      f"lpips={lp_mean:.4f} -> {judge_detail}")
     detail.append("published envelope (24-video mean, ret/readme.md): "
-                  "PSNR 23.70±2.47 / LPIPS 0.12±0.03 @ bpp 0.06 — single-video "
-                  "numbers should land in that neighborhood")
-    return _result("rd", "pass", "; ".join(detail), **metrics)
+                  "PSNR 23.70±2.47 / LPIPS 0.12±0.03 @ bpp 0.06")
+    return _result("rd", "pass" if ok_all else "fail", "; ".join(detail),
+                   **metrics)
 
 
 # --------------------------------------------------------------------------
@@ -532,14 +608,25 @@ def run_validation(ckpt: Optional[str] = None,
                    data_npy: Optional[str] = None,
                    reference: str = REFERENCE_DEFAULT,
                    with_bf16: bool = True,
-                   with_rd: bool = True) -> List[Dict[str, Any]]:
-    """Run every check; returns the list of per-check result dicts."""
+                   with_rd: bool = True,
+                   lpips_lin_vgg: Optional[str] = None,
+                   lpips_lin_squeeze: Optional[str] = None) -> List[Dict[str, Any]]:
+    """Run every check; returns the list of per-check result dicts.
+
+    lpips_lin_vgg/lpips_lin_squeeze: the reference's other two shipped head
+    files (weights/v0.1/{vgg,squeeze}.pth) — validated bit-exactly like
+    alex when supplied."""
     results = [
         check_lpips(lpips_alex, lpips_lin),
         check_diffusion_ckpt(ckpt, reference=reference),
         check_codec_ckpts(codec_ckpts, reference=reference),
         check_i3d(i3d),
     ]
+    if lpips_lin_vgg is not None:
+        results.insert(1, check_lpips(None, lpips_lin_vgg, net_type="vgg"))
+    if lpips_lin_squeeze is not None:
+        results.insert(2 if lpips_lin_vgg else 1,
+                       check_lpips(None, lpips_lin_squeeze, net_type="squeeze"))
     if with_bf16:
         lp = None
         if lpips_alex and lpips_lin:
