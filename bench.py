@@ -102,7 +102,11 @@ def main():
     if res.t_device_gop:
         info.update({
             "t_device_gop_s": round(res.t_device_gop, 3),
+            "t_device_gop_band_s": [round(res.t_device_gop_min, 3),
+                                    round(res.t_device_gop_max, 3)],
             "fps_device_gop_real": round(res.fps_device_gop, 3),
+            "fps_device_gop_bound": round(res.fps_device_gop_bound, 3),
+            "device_gop_overhead_ms": round(res.device_gop_overhead_ms, 1),
         })
     if res.throughput_batch:
         info.update({

@@ -93,3 +93,35 @@ def test_attention_applied_at_right_resolutions():
     plan = _build_plan(spec)
     # resolutions: [32, 16]; attn only at level 1 down (1 block), mid (1), up (1)
     assert [p["kind"] for p in plan].count("attn") == 3
+
+
+def test_gn_bf16_io_flag(monkeypatch):
+    """TVC_GN_BF16_IO=1 keeps GroupNorm I/O in bf16 with f32 statistics
+    (docs/PERF.md lever): same params tree, output close to the f32-I/O
+    path within bf16 resolution; no effect on f32 models."""
+    import jax
+    import jax.numpy as jnp
+
+    from tvc.models.diffusion.layers import GroupNormRef
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
+    m32 = GroupNormRef(ch=32, dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(1), x.astype(jnp.bfloat16))
+    base = np.asarray(m32.apply(v, x.astype(jnp.bfloat16)), np.float32)
+
+    monkeypatch.setenv("TVC_GN_BF16_IO", "1")
+    fast = np.asarray(m32.apply(v, x.astype(jnp.bfloat16)), np.float32)
+    assert fast.dtype == base.dtype
+    np.testing.assert_allclose(fast, base, atol=0.05)
+    # param tree identical between the two paths (checkpoint compatible)
+    v2 = m32.init(jax.random.PRNGKey(1), x.astype(jnp.bfloat16))
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    # f32 model: flag is a no-op (bit-identical)
+    monkeypatch.setenv("TVC_GN_BF16_IO", "0")
+    mf = GroupNormRef(ch=32, dtype=jnp.float32)
+    vf = mf.init(jax.random.PRNGKey(2), x)
+    a = np.asarray(mf.apply(vf, x))
+    monkeypatch.setenv("TVC_GN_BF16_IO", "1")
+    b = np.asarray(mf.apply(vf, x))
+    np.testing.assert_array_equal(a, b)

@@ -140,3 +140,22 @@ def test_polyphase_fast_path_matches_oracle():
             refd = upfirdn2d_ref(x, kk, down=2, pad=((p + 1) // 2, p // 2))
             gotd = np.asarray(downsample_2d(jnp.asarray(x), gain=gain))
             np.testing.assert_allclose(gotd, refd, atol=1e-5)
+
+
+def test_fused_fir_flag_matches_oracle(monkeypatch):
+    """TVC_FUSED_FIR=1 (one-pass 2-D polyphase, docs/PERF.md lever) must
+    match the upfirdn numpy oracle like the 2-pass path does."""
+    monkeypatch.setenv("TVC_FUSED_FIR", "1")
+    rng = np.random.RandomState(1)
+    for shape in [(2, 8, 8, 3), (1, 6, 10, 5)]:
+        x = rng.randn(*shape).astype(np.float32)
+        for gain in (1.0, 2.0):
+            kk = setup_kernel([1, 3, 3, 1]) * (gain * 4)
+            p = kk.shape[0] - 2
+            ref = upfirdn2d_ref(x, kk, up=2, pad=((p + 1) // 2 + 1, p // 2))
+            got = np.asarray(upsample_2d(jnp.asarray(x), gain=gain))
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+            kk = setup_kernel([1, 3, 3, 1]) * gain
+            refd = upfirdn2d_ref(x, kk, down=2, pad=((p + 1) // 2, p // 2))
+            gotd = np.asarray(downsample_2d(jnp.asarray(x), gain=gain))
+            np.testing.assert_allclose(gotd, refd, atol=1e-5)

@@ -65,6 +65,13 @@ class BenchResult:
     # fetch per cycle — the honest end-to-end transmissible wall
     t_device_gop: float = 0.0
     fps_device_gop: float = 0.0
+    # same-window sampler-serial bound + variance band (VERDICT r4 item 2):
+    # the bound's t_cycle is sampled adjacent to the GOP reps so sampler
+    # drift doesn't masquerade as GOP overhead
+    fps_device_gop_bound: float = 0.0
+    device_gop_overhead_ms: float = 0.0
+    t_device_gop_min: float = 0.0
+    t_device_gop_max: float = 0.0
 
 
 def bench_pipeline(
@@ -273,6 +280,8 @@ def bench_pipeline(
     # GOP model above undercounts: each fallback costs a rejected sampler
     # sweep in addition to the pair).
     t_dev_gop = fps_dev_gop = 0.0
+    fps_dev_bound = dev_overhead_ms = 0.0
+    t_dev_min = t_dev_max = 0.0
     if fused_gop and batch == 1 and include_codec and "coder" in codec_result:
         from tvc.pipeline.sender import DeviceGOPRunner
 
@@ -287,32 +296,59 @@ def bench_pipeline(
         out = runner.run(codec_result["coder"], video_u8, jax.random.PRNGKey(41),
                          0.1, forced_accepts=forced)
         _log(f"device GOP compiled+ran in {time.time() - t0:.1f}s")
+
+        def time_cycles(n=2):
+            """Fresh t_cycle sample adjacent to the GOP reps: run-to-run
+            drift of the sampler itself (observed 0.477-0.511 s on axon)
+            must not masquerade as GOP overhead — the bound is only honest
+            when numerator and denominator share a measurement window
+            (VERDICT r4 item 2)."""
+            t0 = time.time()
+            for i in range(n):
+                np.asarray(predictor.generate(jax.random.PRNGKey(71 + i), cond))
+            tc = (time.time() - t0) / n
+            if n_steps < 100:
+                return t_dispatch + max(tc - t_dispatch, 0.0) * (101 / (n_steps + 1))
+            return tc * (101 / (n_steps + 1))
+
         times = []
+        cyc = [time_cycles()]
         for i in range(3):
             t0 = time.time()
             out = runner.run(codec_result["coder"], video_u8,
                              jax.random.PRNGKey(42 + i), 0.1,
                              forced_accepts=forced)
             times.append(time.time() - t0)
+        cyc.append(time_cycles())
         assert out.n_updates == n_cycles, out.n_updates
-        t_dev_gop = float(np.median(times))
-        if n_steps < 100:
-            t_dev_gop += n_cycles * (101 - (n_steps + 1)) * t_step
+        norm = (n_cycles * (101 - (n_steps + 1)) * t_step) if n_steps < 100 else 0.0
+        t_dev_gop = float(np.median(times)) + norm
+        t_dev_min = float(np.min(times)) + norm
+        t_dev_max = float(np.max(times)) + norm
         fps_dev_gop = 30.0 / t_dev_gop
         # Hard bound for this trajectory: the 7 sampler sweeps are serially
         # dependent (autoregressive conditioning), so even a zero-cost codec
-        # and zero host round-trips cannot beat 30/(7*t_cycle). Overhead =
-        # how far the measured wall sits above that floor.
-        bound = 30.0 / (n_cycles * t_cycle_100)
+        # and zero host round-trips cannot beat 30/(7*t_cycle), with t_cycle
+        # sampled in the SAME window as the GOP reps (mean of the two
+        # sandwich samples). Overhead = measured wall above that floor.
+        t_cycle_now = float(np.mean(cyc))
+        fps_dev_bound = 30.0 / (n_cycles * t_cycle_now)
+        dev_overhead_ms = (t_dev_gop - n_cycles * t_cycle_now) * 1e3
         _log(f"device-resident REAL GOP ({n_cycles} sweeps + 3 exact pairs, "
-             f"100-step normalized): {t_dev_gop:.2f}s -> {fps_dev_gop:.3f} "
-             f"frames/s/chip (sampler-serial hard bound {bound:.2f}; "
-             f"non-sampler overhead "
-             f"{(t_dev_gop - n_cycles * t_cycle_100) * 1e3:.0f} ms/GOP)")
+             f"100-step normalized): {t_dev_gop:.2f}s "
+             f"[{t_dev_min:.2f}..{t_dev_max:.2f}] -> {fps_dev_gop:.3f} "
+             f"frames/s/chip (same-window sampler-serial bound "
+             f"{fps_dev_bound:.2f} at t_cycle={t_cycle_now:.3f}s "
+             f"[{cyc[0]:.3f},{cyc[1]:.3f}]; non-sampler overhead "
+             f"{dev_overhead_ms:.0f} ms/GOP)")
 
     return BenchResult(
         t_device_gop=t_dev_gop,
         fps_device_gop=fps_dev_gop,
+        fps_device_gop_bound=fps_dev_bound,
+        device_gop_overhead_ms=dev_overhead_ms,
+        t_device_gop_min=t_dev_min,
+        t_device_gop_max=t_dev_max,
         t_fused_gop=t_fused,
         fused_gop_cycles=n_cycles if t_fused else 0,
         fps_fused_gop=fps_fused,

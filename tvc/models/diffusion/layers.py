@@ -150,6 +150,16 @@ class NIN(nn.Module):
         return jnp.einsum("...c,cd->...d", x.astype(self.dtype), w.astype(self.dtype)) + b.astype(self.dtype)
 
 
+def _gn_bf16_io() -> bool:
+    """TVC_GN_BF16_IO=1: keep GroupNorm inputs/outputs in the compute dtype
+    (bf16) and compute only the statistics in f32 (docs/PERF.md "future
+    work" — halves the normalize-map's HBM traffic on the @128² instances).
+    Default off: the conservative path upcasts the whole op to f32."""
+    import os
+
+    return os.environ.get("TVC_GN_BF16_IO", "0") == "1"
+
+
 class GroupNormRef(nn.Module):
     """GroupNorm with the reference's group-count rule; f32 statistics."""
 
@@ -161,6 +171,18 @@ class GroupNormRef(nn.Module):
     @nn.compact
     def __call__(self, x):
         ng = num_groups_for(self.ch)
+        if _gn_bf16_io() and self.dtype != jnp.float32:
+            # flax GroupNorm computes mean/var in f32 regardless of dtype
+            # (normalization._compute_stats); dtype only sets the normalize
+            # map's I/O precision — exactly the bf16-I/O / f32-stats split
+            return nn.GroupNorm(
+                num_groups=ng,
+                epsilon=self.eps,
+                use_bias=self.use_affine,
+                use_scale=self.use_affine,
+                dtype=self.dtype,
+                name="gn",
+            )(x)
         y = nn.GroupNorm(
             num_groups=ng,
             epsilon=self.eps,

@@ -118,6 +118,71 @@ def _upsample2x_axis(x: jax.Array, k4: np.ndarray, axis: int) -> jax.Array:
     return stacked.reshape(new_shape)
 
 
+def _fused_fir_enabled() -> bool:
+    """TVC_FUSED_FIR=1 selects the one-pass 2-D polyphase (docs/PERF.md
+    "future work": the 2-pass separable form writes a (2H,W) intermediate
+    between passes — 9x input traffic vs 5x for the fused form at the cost
+    of 16 vs 12 MACs/output; on a bandwidth-bound op the traffic wins)."""
+    import os
+
+    return os.environ.get("TVC_FUSED_FIR", "0") == "1"
+
+
+def _upsample2x_fused(x: jax.Array, k4: jax.Array) -> jax.Array:
+    """One-pass 2-D polyphase 2x upsample (both axes at once).
+
+    Separable taps per output phase (from _upsample2x_axis):
+      even: k[3]*x[m-1] + k[1]*x[m];  odd: k[2]*x[m] + k[0]*x[m+1]
+    Phase (a,b) is the outer product of the per-axis taps — 4 MACs per
+    output pixel, no (2H, W) intermediate."""
+    pad = [(0, 0)] * x.ndim
+    pad[1] = pad[2] = (1, 1)
+    xp = jnp.pad(x, pad)
+    n1, n2 = x.shape[1], x.shape[2]
+
+    def sl(i, j):
+        return xp[:, i: i + n1, j: j + n2]
+
+    taps_even = ((k4[3], 0), (k4[1], 1))
+    taps_odd = ((k4[2], 1), (k4[0], 2))
+    phases = []
+    for ta in (taps_even, taps_odd):
+        row = []
+        for tb in (taps_even, taps_odd):
+            p = None
+            for ca, ia in ta:
+                for cb, ib in tb:
+                    t = (ca * cb) * sl(ia, ib)
+                    p = t if p is None else p + t
+            row.append(p)
+        phases.append(row)
+    # interleave: (N, H, 2, W, 2, C) -> (N, 2H, 2W, C)
+    stacked = jnp.stack([jnp.stack(r, axis=3) for r in phases], axis=2)
+    return stacked.reshape(x.shape[0], 2 * n1, 2 * n2, x.shape[3])
+
+
+def _downsample2x_fused(x: jax.Array, k4: jax.Array) -> jax.Array:
+    """One-pass 2-D polyphase 2x downsample: the 4x4 separable window
+    evaluated directly on strided slices (16 MACs/output, no (H, 2W)
+    intermediate). Tap offsets from _downsample2x_axis:
+      out[m] = k[3]*x[2m-1] + k[2]*x[2m] + k[1]*x[2m+1] + k[0]*x[2m+2]."""
+    pad = [(0, 0)] * x.ndim
+    pad[1] = pad[2] = (1, 1)
+    xp = jnp.pad(x, pad)
+    m1, m2 = x.shape[1] // 2, x.shape[2] // 2
+
+    def sl(i, j):
+        return xp[:, i: i + 2 * m1: 2, j: j + 2 * m2: 2]
+
+    taps = ((k4[3], 0), (k4[2], 1), (k4[1], 2), (k4[0], 3))
+    out = None
+    for ca, ia in taps:
+        for cb, ib in taps:
+            t = (ca * cb) * sl(ia, ib)
+            out = t if out is None else out + t
+    return out
+
+
 def _downsample2x_axis(x: jax.Array, k4: np.ndarray, axis: int) -> jax.Array:
     """Polyphase 2x downsample along one spatial axis with a 4-tap FIR.
 
@@ -147,6 +212,8 @@ def upsample_2d(x: jax.Array, k: Sequence[float] = (1, 3, 3, 1), factor: int = 2
         scale = np.float64(gain * factor ** 2)
         k4s = (k4 * np.sqrt(scale)).astype(np.float64)
         kh = jnp.asarray(k4s, x.dtype)
+        if _fused_fir_enabled():
+            return _upsample2x_fused(x, kh)
         y = _upsample2x_axis(x, kh, axis=1)
         return _upsample2x_axis(y, kh, axis=2)
     kk = setup_kernel(k) * (gain * (factor ** 2))
@@ -162,6 +229,8 @@ def downsample_2d(x: jax.Array, k: Sequence[float] = (1, 3, 3, 1), factor: int =
     if factor == 2 and k4 is not None:
         k4s = (k4 * np.sqrt(np.float64(gain))).astype(np.float64)
         kh = jnp.asarray(k4s, x.dtype)
+        if _fused_fir_enabled():
+            return _downsample2x_fused(x, kh)
         y = _downsample2x_axis(x, kh, axis=1)
         return _downsample2x_axis(y, kh, axis=2)
     kk = setup_kernel(k) * gain
