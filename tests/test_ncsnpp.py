@@ -106,10 +106,11 @@ def test_gn_bf16_io_flag(monkeypatch):
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
     m32 = GroupNormRef(ch=32, dtype=jnp.bfloat16)
+    monkeypatch.setenv("TVC_GN_BF16_IO", "0")  # conservative all-f32 path
     v = m32.init(jax.random.PRNGKey(1), x.astype(jnp.bfloat16))
     base = np.asarray(m32.apply(v, x.astype(jnp.bfloat16)), np.float32)
 
-    monkeypatch.setenv("TVC_GN_BF16_IO", "1")
+    monkeypatch.setenv("TVC_GN_BF16_IO", "1")  # the bf16-I/O default
     fast = np.asarray(m32.apply(v, x.astype(jnp.bfloat16)), np.float32)
     assert fast.dtype == base.dtype
     np.testing.assert_allclose(fast, base, atol=0.05)

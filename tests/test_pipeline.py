@@ -218,3 +218,22 @@ def test_rate_sweep_device_runner_path(tiny_pipeline):
     p = points[0]
     assert p.d[:2] == [1, 1] and sum(p.d) == 2  # accept-all: only init pair
     assert p.bpp > 0 and np.isfinite(p.lpips_list).all()
+
+
+def test_rate_sweep_psnr_decision(tiny_pipeline):
+    """use_psnr plumbs the reference's decide_5to5 rule (PSNR >= rho, dB)
+    through the sweep: an always-true threshold accepts every prediction."""
+    import jax as _jax
+
+    from tvc.pipeline.sender import rate_sweep
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    T = 8
+    video = np.random.RandomState(7).rand(T, 64, 64, 3).astype(np.float32)
+    points = rate_sweep(
+        cfg, video, {0: coder}, predictor, lp, fvd_metric=None,
+        qualities=(0,), thresholds=[-1e9], num_frames_total=T,
+        bpp_stop=np.inf, verbose=False, use_psnr=True,
+        key=_jax.random.PRNGKey(9))
+    assert len(points) == 1
+    assert sum(points[0].d) == 2  # only the initial keyframe pair transmitted

@@ -183,6 +183,7 @@ def bench_pipeline(
     # scale a measured cycle to the reference's 100-step budget if subsampled;
     # the fixed per-call dispatch overhead (remote-tunnel RTT on axon) must
     # not be multiplied by the step-count ratio
+    t_step_clean = t_step
     if n_steps < 100:
         noop = jax.jit(lambda x: x + 1.0)
         operand = jnp.zeros((8, 128))
@@ -195,6 +196,24 @@ def bench_pipeline(
         t_cycle_100 = t_dispatch + max(t_cycle - t_dispatch, 0.0) * (
             101 / (n_steps + 1)
         )
+        # Fetch-free per-step time for normalizing subsampled GOP walls: the
+        # measured t_cycle above includes the full ~1 MB output fetch, which
+        # the GOP paths never pay per cycle — multiplying it by the
+        # step-count ratio would charge 90 phantom fetch-shares per sweep
+        # (visible as quick-mode fps collapsing vs full mode). Completion is
+        # forced with a tiny-slice fetch (~one RTT, cancelled by t_dispatch);
+        # ONE discarded warm call first — the tiny-slice eager ops compile
+        # on their first execution (seconds on a remote-compile backend).
+        out = predictor.generate(jax.random.PRNGKey(60), cond)
+        np.asarray(out[0, 0, :1, :1, 0])
+        t0 = time.time()
+        for i in range(2):
+            out = predictor.generate(jax.random.PRNGKey(61 + i), cond)
+            np.asarray(out[0, 0, :1, :1, 0])
+        tc_nf = (time.time() - t0) / 2
+        t_step_clean = max(tc_nf - t_dispatch, 0.0) / (n_steps + 1)
+        _log(f"fetch-free step: {t_step_clean * 1e3:.2f} ms "
+             f"(vs {t_step * 1e3:.2f} ms incl. output fetch)")
     else:
         t_cycle_100 = t_cycle * (101 / (n_steps + 1))
     t_gop = 5 * t_cycle_100 + 3 * t_pair
@@ -267,7 +286,7 @@ def bench_pipeline(
         assert fetched[1] == n_cycles, fetched
         t_fused = float(np.median(times))
         if n_steps < 100:  # normalize each sweep to the 100-step budget
-            t_fused += n_cycles * (101 - (n_steps + 1)) * t_step
+            t_fused += n_cycles * (101 - (n_steps + 1)) * t_step_clean
         fps_fused = 30.0 / t_fused
         _log(f"fused whole-GOP wall ({n_cycles} sweeps + 3 pairs, 100-step "
              f"normalized): {t_fused:.2f}s -> {fps_fused:.3f} frames/s/chip")
@@ -302,10 +321,18 @@ def bench_pipeline(
             drift of the sampler itself (observed 0.477-0.511 s on axon)
             must not masquerade as GOP overhead — the bound is only honest
             when numerator and denominator share a measurement window
-            (VERDICT r4 item 2)."""
+            (VERDICT r4 item 2). Completion is forced with a TINY fetch
+            (not the full ~1 MB 5-frame output): the GOP loop never fetches
+            predictions synchronously, so a full-output fetch would make
+            the 'bound' pessimistic by the transfer time per cycle. One
+            discarded warm call first — the sample right after a GOP run
+            otherwise absorbs its still-draining async chunk copies."""
+            out = predictor.generate(jax.random.PRNGKey(70), cond)
+            np.asarray(out[0, 0, :1, :1, 0])
             t0 = time.time()
             for i in range(n):
-                np.asarray(predictor.generate(jax.random.PRNGKey(71 + i), cond))
+                out = predictor.generate(jax.random.PRNGKey(71 + i), cond)
+                np.asarray(out[0, 0, :1, :1, 0])
             tc = (time.time() - t0) / n
             if n_steps < 100:
                 return t_dispatch + max(tc - t_dispatch, 0.0) * (101 / (n_steps + 1))
@@ -321,7 +348,8 @@ def bench_pipeline(
             times.append(time.time() - t0)
         cyc.append(time_cycles())
         assert out.n_updates == n_cycles, out.n_updates
-        norm = (n_cycles * (101 - (n_steps + 1)) * t_step) if n_steps < 100 else 0.0
+        norm = (n_cycles * (101 - (n_steps + 1)) * t_step_clean) \
+            if n_steps < 100 else 0.0
         t_dev_gop = float(np.median(times)) + norm
         t_dev_min = float(np.min(times)) + norm
         t_dev_max = float(np.max(times)) + norm
@@ -329,9 +357,12 @@ def bench_pipeline(
         # Hard bound for this trajectory: the 7 sampler sweeps are serially
         # dependent (autoregressive conditioning), so even a zero-cost codec
         # and zero host round-trips cannot beat 30/(7*t_cycle), with t_cycle
-        # sampled in the SAME window as the GOP reps (mean of the two
-        # sandwich samples). Overhead = measured wall above that floor.
-        t_cycle_now = float(np.mean(cyc))
+        # sampled in the SAME window as the GOP reps. The MIN of the two
+        # sandwich samples is the bound's estimator — contamination
+        # (straggling async work, host jitter) only ever inflates a sample,
+        # and an inflated t_cycle would understate the bound (reporting
+        # negative overhead). Overhead = measured wall above that floor.
+        t_cycle_now = float(np.min(cyc))
         fps_dev_bound = 30.0 / (n_cycles * t_cycle_now)
         dev_overhead_ms = (t_dev_gop - n_cycles * t_cycle_now) * 1e3
         _log(f"device-resident REAL GOP ({n_cycles} sweeps + 3 exact pairs, "

@@ -51,6 +51,11 @@ def cmd_sweep(argv: List[str]) -> int:
     ap.add_argument("--qualities", nargs="*", type=int, default=[4, 5])
     ap.add_argument("--thresholds", nargs="*", type=float, default=None,
                     help="decision-threshold walk (default: 0.30..0.03 step -0.01)")
+    ap.add_argument("--decision", choices=["lpips", "psnr"], default="lpips",
+                    help="frame-accept rule: LPIPS <= rho (the reference's "
+                         "decide_5to5_lpips default) or PSNR >= rho in dB "
+                         "(decide_5to5, city_sender.py:353-374); supply "
+                         "matching --thresholds for psnr (e.g. 30 28 26)")
     ap.add_argument("--no-fvd", action="store_true")
     ap.add_argument("--i3d-ckpt", type=str, default=None)
     ap.add_argument("--lpips-alex", type=str, default=None, help="torchvision alexnet .pth")
@@ -195,7 +200,7 @@ def cmd_sweep(argv: List[str]) -> int:
             with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
             stale_after=args.queue_stale_after, provenance=provenance,
-            device_gop=args.device_gop,
+            device_gop=args.device_gop, use_psnr=args.decision == "psnr",
         )
         print(f"[queue] this process completed {n} work units")
     elif args.batched > 0:
@@ -208,7 +213,7 @@ def cmd_sweep(argv: List[str]) -> int:
             batch_size=args.batched,
             with_fvd=not args.no_fvd, lpips_metric=lp, fvd_metric=fvd,
             num_processes=args.num_processes, process_id=args.process_id,
-            provenance=provenance,
+            provenance=provenance, use_psnr=args.decision == "psnr",
         )
     else:
         run_sweep(
@@ -219,7 +224,7 @@ def cmd_sweep(argv: List[str]) -> int:
             lpips_metric=lp, fvd_metric=fvd,
             bench_264=args.bench_264, bench_265=args.bench_265,
             fused_gop=args.fused_gop, device_gop=args.device_gop,
-            provenance=provenance,
+            provenance=provenance, use_psnr=args.decision == "psnr",
         )
     return 0
 
@@ -472,6 +477,9 @@ def cmd_gop(argv: List[str]) -> int:
                     help="(T,H,W,3) or (T,C,H,W) [0,1] frames of ONE video")
     ap.add_argument("--payload", required=True, help=".tvcg payload file")
     ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("--decision", choices=["lpips", "psnr"], default="lpips",
+                    help="accept rule: LPIPS <= threshold or PSNR >= "
+                         "threshold (dB)")
     ap.add_argument("--num-frames", type=int, default=30)
     ap.add_argument("--ckpt", type=str, default=None, help="diffusion checkpoint .pt")
     ap.add_argument("--codec-ckpt", type=str, default=None, help="ELIC .pth.tar")
@@ -531,14 +539,15 @@ def cmd_gop(argv: List[str]) -> int:
                   "--allow-uncalibrated.", file=sys.stderr)
             return 2
         key = jax.random.PRNGKey(cfg.seed)
+        use_psnr = args.decision == "psnr"
         if args.device_gop:
             runner = DeviceGOPRunner(cfg, predictor, lpips=lp,
-                                     num_frames_total=T)
+                                     use_psnr=use_psnr, num_frames_total=T)
             gop = runner.run(coder, video, key, args.threshold,
                              patch=cfg.codec.patch, keep_streams=True)
         else:
             sender = Sender(threshold=args.threshold, cfg=cfg,
-                            predictor=predictor, lpips=lp)
+                            predictor=predictor, lpips=lp, use_psnr=use_psnr)
             gop = run_gop(sender, coder, video, key, T, cfg.codec.patch,
                           keep_streams=True)
         payload = {

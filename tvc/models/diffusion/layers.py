@@ -151,13 +151,16 @@ class NIN(nn.Module):
 
 
 def _gn_bf16_io() -> bool:
-    """TVC_GN_BF16_IO=1: keep GroupNorm inputs/outputs in the compute dtype
-    (bf16) and compute only the statistics in f32 (docs/PERF.md "future
-    work" — halves the normalize-map's HBM traffic on the @128² instances).
-    Default off: the conservative path upcasts the whole op to f32."""
+    """TVC_GN_BF16_IO: keep GroupNorm inputs/outputs in the compute dtype
+    (bf16) and compute only the statistics in f32 (docs/PERF.md lever —
+    halves the normalize-map's HBM traffic on the @128² instances).
+    Default ON for bf16 models since the round-5 B=8 ablation measured a
+    consistent ~3% step-time win in both measurement orders
+    (scripts/bench_ablate_serving.py); set TVC_GN_BF16_IO=0 for the
+    conservative all-f32 GroupNorm. No effect on f32 models."""
     import os
 
-    return os.environ.get("TVC_GN_BF16_IO", "0") == "1"
+    return os.environ.get("TVC_GN_BF16_IO", "1") == "1"
 
 
 class GroupNormRef(nn.Module):

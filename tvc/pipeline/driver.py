@@ -78,6 +78,7 @@ def run_sweep_batched(
     num_processes: int = 1,
     process_id: int = 0,
     provenance: Optional[dict] = None,
+    use_psnr: bool = False,
 ) -> Dict[int, list]:
     """Throughput-oriented sweep: every (video, quality, threshold) job runs
     as a lockstep-batched GOP chain (tvc/pipeline/batched.py), organized as
@@ -111,7 +112,8 @@ def run_sweep_batched(
     n_frames = min(30, data.shape[1])
     walks = [
         [GOPJob(video=data[vid], threshold=float(rho), quality=q,
-                num_frames_total=n_frames) for rho in thresholds]
+                num_frames_total=n_frames, use_psnr=use_psnr)
+         for rho in thresholds]
         for vid, q in walks_meta
     ]
 
@@ -180,6 +182,7 @@ def run_sweep(
     fused_gop: bool = False,
     device_gop: bool = False,
     provenance: Optional[dict] = None,
+    use_psnr: bool = False,
 ) -> Dict[int, List[RatePoint]]:
     """Sweep videos [start_idx, end_idx]; returns per-video rate points.
 
@@ -202,12 +205,13 @@ def run_sweep(
 
         fused = FusedGOPSender(
             cfg=cfg, predictor=predictor, coder=coders[list(qualities)[0]],
-            lpips=lpips_metric, num_frames_total=min(30, data.shape[1]))
+            lpips=lpips_metric, num_frames_total=min(30, data.shape[1]),
+            use_psnr=use_psnr)
     elif device_gop:
         from tvc.pipeline.sender import DeviceGOPRunner
 
         device_runner = DeviceGOPRunner(
-            cfg, predictor, lpips=lpips_metric,
+            cfg, predictor, lpips=lpips_metric, use_psnr=use_psnr,
             num_frames_total=min(30, data.shape[1]))
 
     results: Dict[int, List[RatePoint]] = {}
@@ -236,7 +240,7 @@ def run_sweep(
             key=jax.random.PRNGKey(cfg.seed + vid),
             num_frames_total=min(30, video.shape[0]),
             artifact_cb=artifact_cb,
-            fused=fused, device_runner=device_runner,
+            fused=fused, device_runner=device_runner, use_psnr=use_psnr,
         )
         for t in writer_threads:
             t.join()
@@ -268,6 +272,7 @@ def run_sweep_queued(
     stale_after: float = 900.0,
     provenance: Optional[dict] = None,
     device_gop: bool = False,
+    use_psnr: bool = False,
 ) -> int:
     """Dynamic multi-host sweep: pull (video, quality) work units from a
     shared-filesystem WorkQueue instead of static partitioning.
@@ -305,7 +310,7 @@ def run_sweep_queued(
         from tvc.pipeline.sender import DeviceGOPRunner
 
         device_runner = DeviceGOPRunner(
-            cfg, predictor, lpips=lpips_metric,
+            cfg, predictor, lpips=lpips_metric, use_psnr=use_psnr,
             num_frames_total=min(30, data.shape[1]))
 
     def run_unit(job):
@@ -331,6 +336,7 @@ def run_sweep_queued(
                 key=jax.random.PRNGKey(cfg.seed + vid),
                 num_frames_total=min(30, data[vid].shape[0]),
                 verbose=False, device_runner=device_runner,
+                use_psnr=use_psnr,
             )
         finally:
             stop.set()

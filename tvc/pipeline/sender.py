@@ -199,12 +199,18 @@ def rate_sweep(
     verbose: bool = True,
     fused: Optional[object] = None,  # FusedGOPSender: whole-GOP-on-device path
     device_runner: Optional["DeviceGOPRunner"] = None,  # device-resident exact path
+    use_psnr: bool = False,
 ) -> List[RatePoint]:
     """(quality x threshold) sweep over one video (city_sender.py:495-607).
 
     thresholds default to the reference walk rho = 0.30 .. 0.03 step -0.01;
     a threshold walk breaks when bpp >= bpp_stop. verbose=False silences the
     per-point console report and the walk-stop message.
+
+    use_psnr=True decides with PSNR >= rho (the reference's decide_5to5,
+    city_sender.py:353-374) instead of LPIPS <= rho; thresholds are then in
+    dB. Applies to the host-loop path — fused/device_runner carry their own
+    use_psnr set at construction.
 
     fused: a tvc.pipeline.fused_gop.FusedGOPSender — every GOP runs as ONE
     device program (all qualities share the compile; codec weights are a
@@ -234,7 +240,7 @@ def rate_sweep(
                                         patch=cfg.codec.patch)
             else:
                 sender = Sender(threshold=rho, cfg=cfg, predictor=predictor,
-                                lpips=lpips_metric)
+                                lpips=lpips_metric, use_psnr=use_psnr)
                 gop = run_gop(sender, coder, video_gt, sub, num_frames_total,
                               cfg.codec.patch)
             if gop.bpp >= bpp_stop:
