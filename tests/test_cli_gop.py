@@ -79,3 +79,31 @@ def test_gop_send_device_gop_receive_byte_identity(tmp_path, capsys):
     a, b = np.load(sent), np.load(recv)
     assert a.shape == b.shape == (8, 64, 64, 3)
     assert a.tobytes() == b.tobytes(), "receiver reconstruction not byte-identical"
+
+
+@pytest.mark.heavy
+def test_gop_receive_refuses_env_mismatch(tmp_path, capsys, monkeypatch):
+    """Sampler-numerics env flags are stamped into the payload; a receiver
+    running with different flags must refuse (it would silently regenerate
+    different frames)."""
+    video = np.random.RandomState(11).rand(6, 64, 64, 3).astype(np.float32)
+    vp = tmp_path / "video.npy"
+    np.save(vp, video)
+    payload = str(tmp_path / "gop_env.tvcg.npz")
+
+    rc = cli_main(["gop", "send", "--video-npy", str(vp), "--payload", payload,
+                   "--threshold", "-1", "--num-frames", "6",
+                   "--config-mod", *TINY_MODS, "--allow-uncalibrated"])
+    assert rc == 0
+    capsys.readouterr()
+
+    monkeypatch.setenv("TVC_FUSED_FIR", "1")  # sender ran with the default 0
+    rc = cli_main(["gop", "receive", "--video-npy", str(vp),
+                   "--payload", payload, "--config-mod", *TINY_MODS])
+    assert rc == 2
+    assert "env_fused_fir" in capsys.readouterr().err
+
+    monkeypatch.delenv("TVC_FUSED_FIR")
+    rc = cli_main(["gop", "receive", "--video-npy", str(vp),
+                   "--payload", payload, "--config-mod", *TINY_MODS])
+    assert rc == 0

@@ -351,3 +351,13 @@ def test_lpips_head_count_mismatch_fails():
     r = V.check_lpips(None, REF_LIN_VGG, net_type="squeeze")
     assert r["status"] == "fail"
     assert "lin5" in r["detail"]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LIN_SQUEEZE),
+                    reason="reference squeeze LPIPS heads not mounted")
+def test_lpips_extra_heads_fail():
+    """The 7-head squeeze file fed to the 5-head alex architecture must FAIL
+    (a prefix match would green-light the wrong artifact)."""
+    r = V.check_lpips(None, REF_LIN_SQUEEZE, net_type="alex")
+    assert r["status"] == "fail"
+    assert "extra heads" in r["detail"]

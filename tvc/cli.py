@@ -550,12 +550,24 @@ def cmd_gop(argv: List[str]) -> int:
                             predictor=predictor, lpips=lp, use_psnr=use_psnr)
             gop = run_gop(sender, coder, video, key, T, cfg.codec.patch,
                           keep_streams=True)
+        # Sampler-numerics env flags are part of the deterministic-
+        # regeneration contract (they change the compiled sampler program,
+        # exactly like codec.entropy_backend changes the codec programs —
+        # which container.serialize already stamps). Stamp them so a
+        # mismatched receiver fails loudly instead of silently regenerating
+        # different frames.
+        from tvc.models.diffusion.layers import _gn_bf16_io
+        from tvc.ops.resample import _fused_fir_enabled, _polyphase_enabled
+
         payload = {
             "seed": np.int64(cfg.seed),
             "num_frames_total": np.int64(T),
             "accepts": np.asarray(gop.accepts, np.int64),
             "n_containers": np.int64(len(gop.containers)),
             "calibrated": np.int64(int(lp.calibrated)),
+            "env_fused_fir": np.int64(int(_fused_fir_enabled())),
+            "env_polyphase": np.int64(int(_polyphase_enabled())),
+            "env_gn_bf16_io": np.int64(int(_gn_bf16_io())),
         }
         for i, c in enumerate(gop.containers):
             payload[f"container_{i}"] = np.frombuffer(c, np.uint8)
@@ -569,6 +581,22 @@ def cmd_gop(argv: List[str]) -> int:
 
         z = np.load(args.payload if args.payload.endswith(".npz")
                     else args.payload + ".npz")
+        # refuse to regenerate with mismatched sampler-numerics env flags:
+        # the regenerated frames would silently differ from the sender's
+        # (payloads from before the stamping carry no env_* keys — accept
+        # them as the defaults of their era were the current defaults)
+        from tvc.models.diffusion.layers import _gn_bf16_io
+        from tvc.ops.resample import _fused_fir_enabled, _polyphase_enabled
+
+        for name, current in (("env_fused_fir", _fused_fir_enabled()),
+                              ("env_polyphase", _polyphase_enabled()),
+                              ("env_gn_bf16_io", _gn_bf16_io())):
+            if name in z.files and int(z[name]) != int(current):
+                print(f"[tvc] ERROR: payload was produced with {name}="
+                      f"{int(z[name])} but this process runs {int(current)}; "
+                      "regenerated frames would NOT match the sender's. Set "
+                      "the matching TVC_* env var.", file=sys.stderr)
+                return 2
         containers = [z[f"container_{i}"].tobytes()
                       for i in range(int(z["n_containers"]))]
         x = run_gop_receiver(

@@ -151,16 +151,17 @@ class NIN(nn.Module):
 
 
 def _gn_bf16_io() -> bool:
-    """TVC_GN_BF16_IO: keep GroupNorm inputs/outputs in the compute dtype
-    (bf16) and compute only the statistics in f32 (docs/PERF.md lever —
-    halves the normalize-map's HBM traffic on the @128² instances).
-    Default ON for bf16 models since the round-5 B=8 ablation measured a
-    consistent ~3% step-time win in both measurement orders
-    (scripts/bench_ablate_serving.py); set TVC_GN_BF16_IO=0 for the
-    conservative all-f32 GroupNorm. No effect on f32 models."""
+    """TVC_GN_BF16_IO=1: keep GroupNorm inputs/outputs in the compute dtype
+    (bf16) and compute only the statistics in f32 (docs/PERF.md lever).
+    Default OFF: the round-5 B=8 ablation initially showed ~3% — but under
+    fetch-free timing (scripts/bench_ablate_serving.py after the fix) base
+    and bf16-I/O are IDENTICAL (28.68 vs 28.71 ms/step): XLA already fuses
+    the f32 casts into neighbouring ops, so the apparent win was output-
+    fetch noise. Kept as a tested flag + documented negative result; the
+    conservative all-f32 GroupNorm stays the default for bf16 models."""
     import os
 
-    return os.environ.get("TVC_GN_BF16_IO", "1") == "1"
+    return os.environ.get("TVC_GN_BF16_IO", "0") == "1"
 
 
 class GroupNormRef(nn.Module):

@@ -197,8 +197,22 @@ class WorkQueue:
                 won = True
             except FileExistsError:
                 won = False
-            if won or not os.path.exists(path):
+            if won:
                 os.rename(tmp, path)  # atomic; tmp is complete+fsynced
+            elif not os.path.exists(path):
+                # Crash recovery only: the lock holder renames IMMEDIATELY
+                # after taking the lock, so give it a grace window before
+                # concluding it died — a loser racing the winner's rename
+                # would otherwise overwrite the True-returner's bytes
+                # (check-then-rename TOCTOU). After the window, publish our
+                # own complete result so an orphaned lock can never wedge
+                # the unit (we still return False).
+                for _ in range(20):
+                    time.sleep(0.05)
+                    if os.path.exists(path):
+                        break
+                else:
+                    os.rename(tmp, path)
             return won
         finally:
             try:

@@ -336,23 +336,28 @@ class FusedGOPSender:
             # Gloo-based sync here would itself die on compile skew), then
             # run: the first in-program collective sees both processes
             # present and the Gloo context initializes cleanly.
+            # executables are shape-locked: key on the FULL global video
+            # shape (covers B and the (T+pad, H, W, C) geometry), not just B
+            vshape = tuple(v.shape)
             ce = next((c for c in self._compiled_entries
-                       if c[0] is pe and c[1] == B), None)
+                       if c[0] is pe and c[1] == vshape), None)
             if ce is None:
                 lowered = sharded_fn.lower(pv, cv, lv, v, keys, thr, forced)
-                ce = [pe, B, lowered.compile()]
+                ce = [pe, vshape, lowered.compile()]
                 self._compiled_entries.append(ce)
                 try:
                     from jax._src import distributed
 
                     client = distributed.global_state.client
                     if client is not None:
-                        # barrier names derive from (param-entry index, B):
-                        # deterministic across processes following the same
-                        # call sequence (a counter would desync on any
-                        # hit/miss divergence and hang both ends)
+                        # barrier names derive from (param-entry index,
+                        # video shape): deterministic across processes
+                        # following the same call sequence (a counter would
+                        # desync on any hit/miss divergence and hang both
+                        # ends)
+                        shp = "x".join(str(s) for s in vshape)
                         client.wait_at_barrier(
-                            f"tvc_run_sharded_compiled_p{pidx}_b{B}",
+                            f"tvc_run_sharded_compiled_p{pidx}_s{shp}",
                             600_000)
                 except ImportError:  # pragma: no cover - private-API fallback
                     pass

@@ -417,7 +417,13 @@ class DeviceGOPRunner:
             # sampler executable)
             cond = jnp.transpose(cond2, (0, 2, 3, 1, 4)).reshape(1, h, w, nc * c)
             pred = self.predictor.generate(sub, cond)  # (1, n_pred, H, W, C)
-            gt_k = gt_dev[count: count + k]
+            # dynamic_slice with a DEVICE start index: one compiled slice
+            # program per k, not one per distinct count (a static-start
+            # eager slice would compile a fresh tiny program for every new
+            # offset a trajectory visits — seconds each on a remote-compile
+            # backend, invisible to benches whose warm-up run pre-visits
+            # all offsets)
+            gt_k = jax.lax.dynamic_slice_in_dim(gt_dev, jnp.int32(count), k, 0)
             if self.use_psnr:
                 scores = self._psnr(pred[0, :k], gt_k)
             else:

@@ -170,6 +170,17 @@ def _check_lpips_impl(alex_pth, lin_pth, net_type, name) -> Dict[str, Any]:
             got = np.asarray(metric.params[f"lin{k}"])  # (1, 1, C, 1)
             np.testing.assert_array_equal(got.transpose(3, 2, 0, 1), want)
             n += 1
+        # a file with MORE heads than the architecture defines is the wrong
+        # artifact for this backbone (e.g. 7-head squeeze.pth fed to the
+        # 5-head alex/vgg arch) — a prefix match must not pass
+        extra = [k for k in sd
+                 if k.startswith("lin") and k.endswith(".weight")
+                 and int(k[3:].split(".")[0]) >= n_heads]
+        if extra:
+            return _result(name, "fail",
+                           f"unexpected extra heads {sorted(extra)} in "
+                           f"{lin_pth} (architecture defines {n_heads}) — "
+                           "wrong artifact for this backbone?")
         details.append(f"{n}/{n_heads} linear heads converted bit-exactly")
         metrics["lin_heads"] = n
 
