@@ -107,6 +107,7 @@ def main():
             "fps_device_gop_real": round(res.fps_device_gop, 3),
             "fps_device_gop_bound": round(res.fps_device_gop_bound, 3),
             "device_gop_overhead_ms": round(res.device_gop_overhead_ms, 1),
+            "fps_device_gop_acceptall": round(res.fps_device_gop_acceptall, 3),
         })
     if res.throughput_batch:
         info.update({

@@ -37,9 +37,15 @@ def measure(steps: int, polyphase: bool, params_bf16: bool, reps: int = 3):
     t0 = time.time()
     np.asarray(pred.generate(jax.random.PRNGKey(1), cond))
     compile_s = time.time() - t0
+    # tiny-slice completion, one discarded warm call (round-5 methodology:
+    # a full-output fetch is a ~25% additive term with its own variance —
+    # see docs/PERF.md "Methodology lesson")
+    out = pred.generate(jax.random.PRNGKey(2), cond)
+    np.asarray(out[0, 0, :1, :1, 0])
     t0 = time.time()
     for i in range(reps):
-        np.asarray(pred.generate(jax.random.PRNGKey(2 + i), cond))
+        out = pred.generate(jax.random.PRNGKey(3 + i), cond)
+        np.asarray(out[0, 0, :1, :1, 0])
     t_cycle = (time.time() - t0) / reps
     # dispatch overhead probe
     noop = jax.jit(lambda x: x + 1.0)

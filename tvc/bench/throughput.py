@@ -72,6 +72,11 @@ class BenchResult:
     device_gop_overhead_ms: float = 0.0
     t_device_gop_min: float = 0.0
     t_device_gop_max: float = 0.0
+    # accept-all trajectory (prediction succeeds every cycle: 6 sweeps + the
+    # initial keyframe pair only) — the typical-success-case latency, vs the
+    # worst-case headline above
+    t_device_gop_acceptall: float = 0.0
+    fps_device_gop_acceptall: float = 0.0
 
 
 def bench_pipeline(
@@ -301,6 +306,7 @@ def bench_pipeline(
     t_dev_gop = fps_dev_gop = 0.0
     fps_dev_bound = dev_overhead_ms = 0.0
     t_dev_min = t_dev_max = 0.0
+    t_dev_aa = fps_dev_aa = 0.0
     if fused_gop and batch == 1 and include_codec and "coder" in codec_result:
         from tvc.pipeline.sender import DeviceGOPRunner
 
@@ -373,6 +379,30 @@ def bench_pipeline(
              f"[{cyc[0]:.3f},{cyc[1]:.3f}]; non-sampler overhead "
              f"{dev_overhead_ms:.0f} ms/GOP)")
 
+        # accept-all trajectory: every prediction clears the threshold —
+        # 6 sweeps (counts 2->7->...->27->30, tail clamped to 3) and ONLY
+        # the initial keyframe pair. The typical-success-case latency.
+        aa_cycles = 6
+        # one warm run: the tail cycle scores k=3 frames — a slice/metric
+        # shape the worst-case trajectory never visits (fresh tiny compiles)
+        runner.run(codec_result["coder"], video_u8, jax.random.PRNGKey(45),
+                   0.1, forced_accepts=[5] * aa_cycles)
+        times_aa = []
+        for i in range(3):
+            t0 = time.time()
+            out = runner.run(codec_result["coder"], video_u8,
+                             jax.random.PRNGKey(46 + i), 0.1,
+                             forced_accepts=[5] * aa_cycles)
+            times_aa.append(time.time() - t0)
+        assert out.n_updates == aa_cycles, out.n_updates
+        norm_aa = (aa_cycles * (101 - (n_steps + 1)) * t_step_clean) \
+            if n_steps < 100 else 0.0
+        t_dev_aa = float(np.median(times_aa)) + norm_aa
+        fps_dev_aa = 30.0 / t_dev_aa
+        _log(f"device-resident REAL GOP accept-all ({aa_cycles} sweeps + "
+             f"1 exact pair): {t_dev_aa:.2f}s -> {fps_dev_aa:.3f} "
+             f"frames/s/chip (typical success case)")
+
     return BenchResult(
         t_device_gop=t_dev_gop,
         fps_device_gop=fps_dev_gop,
@@ -380,6 +410,8 @@ def bench_pipeline(
         device_gop_overhead_ms=dev_overhead_ms,
         t_device_gop_min=t_dev_min,
         t_device_gop_max=t_dev_max,
+        t_device_gop_acceptall=t_dev_aa,
+        fps_device_gop_acceptall=fps_dev_aa,
         t_fused_gop=t_fused,
         fused_gop_cycles=n_cycles if t_fused else 0,
         fps_fused_gop=fps_fused,
