@@ -121,3 +121,34 @@ def test_batched_runner_smaller_batch_than_jobs(tiny_pipeline):
     assert len(results) == 3
     for r in results:
         assert r.x_ge.shape[1] == 6
+
+
+def test_batched_fallback_tail_clamp_alignment(tiny_pipeline):
+    """Chains whose fallback lands at the video end contribute FEWER than nc
+    frames to the batched keyframe coding (the gt slice clamps). Per-chain
+    offsets must follow actual chunk lengths — fixed-stride slicing handed
+    one chain's decoded frames to another whenever a clamped chain wasn't
+    last in the batch. With reject-all thresholds every frame is a coded
+    keyframe, so each chain's x_ge must equal the recon of ITS OWN frames."""
+    cfg, predictor, coder, lp = tiny_pipeline
+    from tvc.pipeline.keyframe import code_frames
+
+    # T=5, nc=2: chains go 2 -> 4 -> 5; the last fallback clamps to 1 frame
+    # for BOTH chains in the same per-quality batch
+    T = 5
+    videos = np.random.RandomState(31).rand(2, T, 64, 64, 3).astype(np.float32)
+    jobs = [GOPJob(video=videos[i], threshold=-1.0, quality=4,
+                   num_frames_total=T) for i in range(2)]
+    runner = BatchedGOPRunner(cfg, predictor, {4: coder}, lpips=lp, batch_size=2)
+    results = runner.run(jobs, jax.random.PRNGKey(2))
+    for i, r in enumerate(results):
+        assert r.d[0].tolist() == [1] * T
+        want = np.concatenate([
+            code_frames(coder, videos[i][a: a + 2], 64)[0]
+            for a in (0, 2, 4)
+        ], axis=0)[:T]
+        # tolerance covers batch-size-dependent synthesis compilation (the
+        # runner synthesizes 2 chains' frames in one batch — ulp-level);
+        # the bug this guards against assigns ANOTHER chain's frames, an
+        # O(0.1) difference
+        np.testing.assert_allclose(r.x_ge[0], want, atol=1e-4)

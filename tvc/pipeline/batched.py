@@ -194,20 +194,26 @@ class BatchedGOPRunner:
                 if st.x_ge.shape[0] >= st.job.num_frames_total:
                     st.done = True
 
-            # batched fallback keyframe coding per quality
+            # Batched fallback keyframe coding per quality. Chains near the
+            # video end contribute FEWER than nc frames (the gt slice clamps
+            # — the host loop's video_gt[l:l+nc] semantics), so per-chain
+            # offsets must come from the actual chunk lengths: fixed-stride
+            # k*nc slicing would hand one chain's decoded frames to another
+            # whenever a clamped chain isn't last in the batch.
             for q, slots in fallback.items():
-                frames = np.concatenate(
-                    [active[s][2].job.video[
-                        active[s][2].x_ge.shape[0]: active[s][2].x_ge.shape[0] + nc]
-                     for s in slots], axis=0)
-                dec, bits = code_frames(self.coders[q], frames, patch,
+                chunks = [active[s][2].job.video[
+                    active[s][2].x_ge.shape[0]: active[s][2].x_ge.shape[0] + nc]
+                    for s in slots]
+                offs = np.concatenate([[0], np.cumsum([ch.shape[0] for ch in chunks])])
+                dec, bits = code_frames(self.coders[q],
+                                        np.concatenate(chunks, axis=0), patch,
                                         exact=cfg.codec.exact_streams)
                 for k, s in enumerate(slots):
                     st = active[s][2]
-                    st.x_ge = np.concatenate(
-                        [st.x_ge, dec[k * nc: (k + 1) * nc]], axis=0)
-                    st.d.extend([1] * nc)
-                    st.bits += sum(bits[k * nc: (k + 1) * nc])
+                    lo, hi = offs[k], offs[k + 1]
+                    st.x_ge = np.concatenate([st.x_ge, dec[lo:hi]], axis=0)
+                    st.d.extend([1] * (hi - lo))
+                    st.bits += sum(bits[lo:hi])
                     if st.x_ge.shape[0] >= st.job.num_frames_total:
                         st.done = True
 
