@@ -237,3 +237,44 @@ def test_rate_sweep_psnr_decision(tiny_pipeline):
         key=_jax.random.PRNGKey(9))
     assert len(points) == 1
     assert sum(points[0].d) == 2  # only the initial keyframe pair transmitted
+
+
+def test_gop_invariant_to_trailing_frames(tiny_pipeline):
+    """Frames past num_frames_total must not influence ANY path's result —
+    bits, decisions, or reconstructions (the reference's videos are exactly
+    T frames; a tail fallback on a longer input must not code or bill
+    out-of-GOP frames). Exercised with a mid threshold so tail decisions
+    and fallbacks actually occur."""
+    import jax as _jax
+
+    from tvc.pipeline.batched import BatchedGOPRunner, GOPJob
+    from tvc.pipeline.sender import DeviceGOPRunner, Sender, run_gop
+
+    cfg, predictor, coder, lp = tiny_pipeline
+    T = 7  # odd spacing: counts hit T-1 so clamped tails occur
+    long_video = np.random.RandomState(8).rand(T + 6, 64, 64, 3).astype(np.float32)
+    short_video = long_video[:T].copy()
+
+    for thr in (-1.0, 0.5):
+        key = _jax.random.PRNGKey(21)
+        sender = Sender(threshold=thr, cfg=cfg, predictor=predictor, lpips=lp)
+        a = run_gop(sender, coder, long_video, key, T, cfg.codec.patch)
+        b = run_gop(sender, coder, short_video, key, T, cfg.codec.patch)
+        assert a.bits == b.bits, thr
+        assert a.d[0].tolist() == b.d[0].tolist(), thr
+        np.testing.assert_array_equal(a.x_ge, b.x_ge)
+
+    runner = DeviceGOPRunner(cfg, predictor, lpips=lp, num_frames_total=T)
+    key = _jax.random.PRNGKey(21)
+    a = runner.run(coder, long_video, key, 0.5, patch=cfg.codec.patch)
+    b = runner.run(coder, short_video, key, 0.5, patch=cfg.codec.patch)
+    assert a.bits == b.bits and a.d[0].tolist() == b.d[0].tolist()
+    np.testing.assert_array_equal(a.x_ge, b.x_ge)
+
+    br = BatchedGOPRunner(cfg, predictor, {4: coder}, lpips=lp, batch_size=2)
+    ra = br.run([GOPJob(video=long_video, threshold=0.5, quality=4,
+                        num_frames_total=T)], _jax.random.PRNGKey(22))
+    rb = br.run([GOPJob(video=short_video, threshold=0.5, quality=4,
+                        num_frames_total=T)], _jax.random.PRNGKey(22))
+    assert ra[0].bits == rb[0].bits
+    np.testing.assert_array_equal(ra[0].x_ge, rb[0].x_ge)

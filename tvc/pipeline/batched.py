@@ -183,7 +183,10 @@ class BatchedGOPRunner:
             fallback: Dict[int, List[int]] = {}
             for slot, (w, j, st) in enumerate(active):
                 idx = st.x_ge.shape[0]
-                gt = st.job.video[idx: idx + n_pred]
+                # decisions only score in-GOP frames (frames past
+                # num_frames_total must not influence the result — the
+                # reference's videos are exactly T frames)
+                gt = st.job.video[idx: min(idx + n_pred, st.job.num_frames_total)]
                 acc = self._decide(st, preds[slot, : gt.shape[0]], gt)
                 st.n_updates += 1
                 if acc.shape[0] > 0:
@@ -202,7 +205,9 @@ class BatchedGOPRunner:
             # whenever a clamped chain isn't last in the batch.
             for q, slots in fallback.items():
                 chunks = [active[s][2].job.video[
-                    active[s][2].x_ge.shape[0]: active[s][2].x_ge.shape[0] + nc]
+                    active[s][2].x_ge.shape[0]:
+                    min(active[s][2].x_ge.shape[0] + nc,
+                        active[s][2].job.num_frames_total)]
                     for s in slots]
                 offs = np.concatenate([[0], np.cumsum([ch.shape[0] for ch in chunks])])
                 dec, bits = code_frames(self.coders[q],

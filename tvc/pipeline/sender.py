@@ -123,6 +123,12 @@ def run_gop(
     a TVC1 container — together with (d, seed) this is everything a receiver
     needs (tvc/pipeline/receiver.py)."""
     t0 = time.time()
+    # Frames past the GOP end must not influence the result (the reference's
+    # videos are exactly 30 frames, city_sender.py:487 — its tail fallback
+    # and decisions clamp at the video end): trim the working view to T so
+    # longer inputs bill no bits for out-of-GOP frames and the accept
+    # decision never scores frames a T-frame video wouldn't have.
+    video_gt = video_gt[:num_frames_total]
     h, w = video_gt.shape[1], video_gt.shape[2]
     nc = sender.cfg.data.num_frames_cond
 
@@ -364,7 +370,10 @@ class DeviceGOPRunner:
         from tvc.pipeline.keyframe import code_frames_device
 
         def gt_slice(a, b):
-            """Host-side float view of gt frames [a:b) for the codec."""
+            """Host-side float view of gt frames [a:b) for the codec,
+            clamped to the GOP (frames past T are never coded or billed —
+            run_gop's trimmed-view semantics)."""
+            b = min(b, T)
             if video_f32 is not None:
                 return video_f32[a:b]
             return video_gt[a:b].astype(np.float32) / 255.0
