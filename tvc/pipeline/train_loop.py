@@ -110,7 +110,8 @@ def train(
                 loss_v = float(loss)
                 losses.append(loss_v)
                 print(f"step {step + 1}/{num_steps} loss {loss_v:.4f} "
-                      f"({(time.time() - t0) / (step + 1):.3f}s/step)", flush=True)
+                      f"({(time.time() - t0) / (step + 1 - start_step):.3f}"
+                      "s/step)", flush=True)
             if out_dir and (step + 1) % snapshot_freq == 0:
                 save_train_state(os.path.join(out_dir, f"ckpt_{step + 1}"),
                                  state.params, state.ema, step + 1,
